@@ -1,0 +1,180 @@
+"""Configuration dataclasses.
+
+Mirrors the hyperparameter surface of the reference:
+- ``PMGTConfig`` ↔ reference ``pmgt/pmgt/configuration_pmgt.py:9-41``
+- ``TrainArgs``  ↔ the common click flag set of reference ``train.py:18-70``
+  plus per-workload flags (``train.py:84-295``).
+
+Unlike the reference (which uses HF ``PretrainedConfig`` and a mutable
+AttrDict), these are plain frozen dataclasses: hashable, so they can be
+closed over by jitted functions as static configuration.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+def _freeze(value: Any) -> Any:
+    if isinstance(value, list):
+        return tuple(_freeze(v) for v in value)
+    return value
+
+
+@dataclass(frozen=True)
+class PMGTConfig:
+    """PMGT encoder hyperparameters (reference configuration_pmgt.py:13-41)."""
+
+    hidden_size: int = 128
+    feat_hidden_sizes: Tuple[int, ...] = (1536, 768)
+    num_hidden_layers: int = 5
+    num_attention_heads: int = 1
+    intermediate_size: int = 128
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 100
+    initializer_range: float = 0.02
+    layer_norm_eps: float = 1e-12
+    beta: float = 0.5  # diversity-promoting attention blend weight
+    attention_impl: str = "xla"  # {"xla", "pallas"}
+    dtype: str = "float32"  # compute dtype: {"float32", "bfloat16"}
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "feat_hidden_sizes", _freeze(self.feat_hidden_sizes)
+        )
+        if self.hidden_size % self.num_attention_heads != 0:
+            raise ValueError(
+                f"hidden_size ({self.hidden_size}) must be a multiple of "
+                f"num_attention_heads ({self.num_attention_heads})"
+            )
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def num_feats(self) -> int:
+        return len(self.feat_hidden_sizes)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "PMGTConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: _freeze(v) for k, v in d.items() if k in known})
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    """Contextual-neighborhood / pair sampling hyperparameters
+    (reference pmgt/pmgt/datasets.py:82-107, train.py:223-246)."""
+
+    max_ctx_neigh: int = 5
+    hop_sampling_sizes: Tuple[int, ...] = (16, 8, 4)
+    max_total_samples: int = 10  # pos + neg pairs per target (training)
+    min_neg_samples: int = 5
+    # Fixed number of redraws used to emulate rejection sampling of
+    # negatives with static shapes (see sampling/pairs.py).
+    neg_rejection_rounds: int = 16
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "hop_sampling_sizes", _freeze(self.hop_sampling_sizes)
+        )
+
+    @property
+    def seq_len(self) -> int:
+        return 1 + self.max_ctx_neigh
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "SamplingConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: _freeze(v) for k, v in d.items() if k in known})
+
+
+@dataclass
+class TrainArgs:
+    """Common training arguments (reference train.py:18-70).
+
+    Mutable on purpose: the CLI resolves these once, before anything is
+    traced; jitted code never sees this object.
+    """
+
+    # --- train options -------------------------------------------------
+    seed: int = 0
+    run_id: Optional[str] = None
+    model_name: str = ""
+    dataset_name: str = ""
+    valid_size: float = 0.2
+    num_epochs: int = 20
+    optim: str = "adamw"  # {"adamw", "sgd"}
+    lr: float = 1e-3
+    decay: float = 1e-2
+    mp_enabled: bool = False  # bf16 compute policy on TPU
+    early: int = 5
+    early_criterion: str = "loss"
+    train_batch_size: int = 256
+    test_batch_size: int = 256
+    gradient_max_norm: Optional[float] = None
+    accumulation_step: int = 1
+    scheduler_warmup: Optional[float] = None
+    scheduler_type: Optional[str] = None
+    mode: str = "train"  # {"train", "eval", "inference"}
+    inference_result_path: Optional[str] = None
+
+    # --- log options ---------------------------------------------------
+    experiment_name: str = "baseline"
+    run_name: Optional[str] = None
+    tags: Tuple[Tuple[str, str], ...] = ()
+    data_dir: str = "./data"
+    log_dir: str = "./logs"
+    run_script: Optional[str] = None
+
+    # --- TPU options (new; no reference equivalent) ---------------------
+    num_devices: Optional[int] = None  # None = all visible devices
+    mesh_shape: Optional[Tuple[int, ...]] = None
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+
+    # --- workload-specific extras (populated by each CLI command) -------
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    def __getattr__(self, name: str) -> Any:
+        # Fall through to workload-specific extras, AttrDict-style.
+        extra = self.__dict__.get("extra")
+        if extra is not None and name in extra:
+            return extra[name]
+        raise AttributeError(name)
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = {k: v for k, v in self.__dict__.items() if k != "extra"}
+        d.update(self.extra)
+        d["tags"] = [list(t) for t in self.tags]
+        return d
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TrainArgs":
+        known = {f.name for f in dataclasses.fields(cls) if f.name != "extra"}
+        base = {k: v for k, v in d.items() if k in known}
+        extra = {k: v for k, v in d.items() if k not in known}
+        if "tags" in base:
+            base["tags"] = tuple(tuple(t) for t in base["tags"])
+        if base.get("mesh_shape") is not None:
+            base["mesh_shape"] = tuple(base["mesh_shape"])
+        return cls(**base, extra=extra)
+
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(self.to_dict(), f, indent=2, default=str)
+
+    @classmethod
+    def load(cls, path: str) -> "TrainArgs":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f))

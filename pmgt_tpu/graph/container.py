@@ -1,0 +1,145 @@
+"""Padded-CSR graph container for on-device sampling.
+
+The reference keeps the item graph as a networkx object and samples
+neighborhoods in Python inside DataLoader workers (reference
+pmgt/pmgt/datasets.py:14-53) — the dominant cost of its training loop. The
+TPU-native design preprocesses the graph once into fixed-shape arrays so
+that all sampling becomes jitted gathers + `jax.random.categorical`:
+
+- ``nbr_ids[n, d]``    — d-th neighbor of node n (node-id space; 0 = <pad>)
+- ``nbr_logits[n, d]`` — edge weight, ``-inf`` on padding. Passing raw
+  weights as categorical logits reproduces the reference's per-node
+  ``softmax(weights)`` sampling distribution exactly
+  (reference datasets.py:27-32).
+- ``degrees[n]``       — true neighbor count of node n.
+
+Node-id space matches the reference convention (reference
+pmgt/pmgt/trainer.py:38-41): 0 = <pad>, 1 = <mask>, real nodes are 2..N+1.
+Rows 0 and 1 are sentinel rows with a single self-edge to <pad> so that
+categorical sampling stays well-defined if they are ever gathered.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+NEG_INF = float("-inf")
+NUM_SPECIAL_NODES = 2  # 0 = <pad>, 1 = <mask>
+
+
+class PaddedGraph(NamedTuple):
+    """Fixed-shape graph arrays (a pytree; members may be numpy or jnp)."""
+
+    nbr_ids: np.ndarray  # [N+2, max_deg] int32
+    nbr_logits: np.ndarray  # [N+2, max_deg] float32 (-inf padding)
+    degrees: np.ndarray  # [N+2] int32
+
+    @property
+    def num_nodes(self) -> int:
+        """Number of real nodes (excluding <pad>/<mask>)."""
+        return int(self.nbr_ids.shape[0]) - NUM_SPECIAL_NODES
+
+    @property
+    def num_total(self) -> int:
+        """Total rows including the two special ids."""
+        return int(self.nbr_ids.shape[0])
+
+    @property
+    def max_degree(self) -> int:
+        return int(self.nbr_ids.shape[1])
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            nbr_ids=np.asarray(self.nbr_ids),
+            nbr_logits=np.asarray(self.nbr_logits),
+            degrees=np.asarray(self.degrees),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PaddedGraph":
+        with np.load(path) as data:
+            return cls(
+                nbr_ids=data["nbr_ids"],
+                nbr_logits=data["nbr_logits"],
+                degrees=data["degrees"],
+            )
+
+
+def from_edges(
+    num_nodes: int,
+    edges: Sequence[Tuple[int, int, float]],
+    max_degree: Optional[int] = None,
+) -> PaddedGraph:
+    """Build a PaddedGraph from undirected weighted edges.
+
+    Args:
+        num_nodes: number of real nodes. Edge endpoints must be in
+            ``[0, num_nodes)`` — **zero-based**; they are shifted by
+            ``NUM_SPECIAL_NODES`` internally.
+        edges: (u, v, weight) triples; each is added in both directions.
+        max_degree: optional cap. Nodes above it keep their highest-weight
+            neighbors (a controlled deviation from the reference, which has
+            no cap; use None for exact parity).
+    """
+    adj_ids: list[list[int]] = [[] for _ in range(num_nodes)]
+    adj_ws: list[list[float]] = [[] for _ in range(num_nodes)]
+    for u, v, w in edges:
+        if not (0 <= u < num_nodes and 0 <= v < num_nodes):
+            raise ValueError(f"edge ({u},{v}) out of range [0,{num_nodes})")
+        adj_ids[u].append(v + NUM_SPECIAL_NODES)
+        adj_ws[u].append(float(w))
+        adj_ids[v].append(u + NUM_SPECIAL_NODES)
+        adj_ws[v].append(float(w))
+
+    if max_degree is not None:
+        for n in range(num_nodes):
+            if len(adj_ids[n]) > max_degree:
+                order = np.argsort(adj_ws[n])[::-1][:max_degree]
+                adj_ids[n] = [adj_ids[n][i] for i in order]
+                adj_ws[n] = [adj_ws[n][i] for i in order]
+
+    max_deg = max((len(a) for a in adj_ids), default=0)
+    max_deg = max(max_deg, 1)  # at least one slot for the sentinel edge
+
+    n_total = num_nodes + NUM_SPECIAL_NODES
+    nbr_ids = np.zeros((n_total, max_deg), dtype=np.int32)
+    nbr_logits = np.full((n_total, max_deg), NEG_INF, dtype=np.float32)
+    degrees = np.zeros((n_total,), dtype=np.int32)
+
+    for n in range(num_nodes):
+        row = n + NUM_SPECIAL_NODES
+        deg = len(adj_ids[n])
+        degrees[row] = deg
+        if deg:
+            nbr_ids[row, :deg] = adj_ids[n]
+            nbr_logits[row, :deg] = adj_ws[n]
+        else:
+            # Sentinel self-edge to <pad> keeps categorical well-defined.
+            nbr_logits[row, 0] = 0.0
+
+    # Special rows (<pad>, <mask>) sample <pad> with probability 1.
+    nbr_logits[0, 0] = 0.0
+    nbr_logits[1, 0] = 0.0
+
+    return PaddedGraph(nbr_ids=nbr_ids, nbr_logits=nbr_logits, degrees=degrees)
+
+
+def from_networkx(graph, max_degree: Optional[int] = None) -> PaddedGraph:
+    """Build from a networkx graph whose nodes are 0..N-1 (or the reference's
+    relabeled 2..N+1 space; both are accepted).
+
+    Matches the reference artifact contract: `graph.gpickle` loaded and
+    relabeled in reference pmgt/pmgt/trainer.py:34-43.
+    """
+    nodes = sorted(graph.nodes())
+    n = len(nodes)
+    offset = nodes[0] if nodes else 0
+    if nodes != list(range(offset, offset + n)):
+        raise ValueError("graph nodes must be a contiguous integer range")
+    edges = [
+        (u - offset, v - offset, data.get("weight", 1.0))
+        for u, v, data in graph.edges(data=True)
+    ]
+    return from_edges(n, edges, max_degree=max_degree)

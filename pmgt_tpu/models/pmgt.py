@@ -1,0 +1,515 @@
+"""PMGT encoder and pretraining model (JAX/Flax).
+
+Behavioral reference: pmgt/pmgt/modeling_pmgt.py and pmgt/pmgt/models.py.
+Re-designed for TPU:
+
+- One fused forward: target pass, pair pass, and the NFR masked pass run as
+  a single batched encoder invocation instead of the reference's per-sample
+  Python loop of encoder calls (reference models.py:104-127).
+- Pairs are dense [B, P, S] with a validity mask; the GSR loss reproduces
+  the reference's mean-over-samples-of-mean-over-pairs semantics
+  (models.py:119-125) via masked means.
+- The dual-attention core (diversity-promoting + standard attention blended
+  by beta, reference modeling_pmgt.py:420-534) is swappable:
+  ``config.attention_impl in {"xla", "pallas"}``.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pmgt_tpu.core.config import PMGTConfig
+from pmgt_tpu.graph.container import NUM_SPECIAL_NODES
+from pmgt_tpu.sampling.pairs import PretrainBatch
+
+Array = jax.Array
+
+# Matches HF's get_extended_attention_mask: (1 - mask) * finfo(dtype).min.
+# A large finite negative keeps bf16 softmax well-behaved.
+def _additive_mask(attention_mask: Array, dtype) -> Array:
+    big_neg = jnp.finfo(dtype).min
+    return ((1.0 - attention_mask) * big_neg).astype(dtype)
+
+
+def _normal_init(std: float):
+    return nn.initializers.normal(stddev=std)
+
+
+class PMGTEmbeddings(nn.Module):
+    """Multimodal fusion + position/role embeddings
+    (reference modeling_pmgt.py:155-210).
+
+    Per-modality linear projection to hidden size, softmax attention over
+    modalities, plus learned absolute-position embeddings and role
+    embeddings (role 0 = target node, role 1 = context node).
+    """
+
+    config: PMGTConfig
+
+    @nn.compact
+    def __call__(
+        self, feat_embeds: Sequence[Array], deterministic: bool = True
+    ) -> Array:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        seq_len = feat_embeds[0].shape[1]
+
+        projected = [
+            nn.Dense(
+                cfg.hidden_size,
+                kernel_init=_normal_init(cfg.initializer_range),
+                dtype=dtype,
+                name=f"feat_linear_{i}",
+            )(x.astype(dtype))
+            for i, x in enumerate(feat_embeds)
+        ]
+        concat = jnp.concatenate(projected, axis=-1)
+        # Modality attention: tanh -> Dense(num_feats) -> softmax
+        # (reference modeling_pmgt.py:169-173).
+        scores = nn.Dense(
+            cfg.num_feats,
+            kernel_init=_normal_init(cfg.initializer_range),
+            dtype=dtype,
+            name="modality_attention",
+        )(jnp.tanh(concat))
+        scores = jax.nn.softmax(scores, axis=-1)
+        stacked = jnp.stack(projected, axis=2)  # [B, S, M, H]
+        fused = jnp.sum(scores[..., None] * stacked, axis=2)
+
+        position_emb = self.param(
+            "position_embeddings",
+            _normal_init(cfg.initializer_range),
+            (cfg.max_position_embeddings, cfg.hidden_size),
+        )
+        role_emb = self.param(
+            "role_embeddings",
+            _normal_init(cfg.initializer_range),
+            (2, cfg.hidden_size),
+        )
+        # role 0 for the target (position 0), role 1 for every context slot
+        # (reference modeling_pmgt.py:182-187).
+        pos = position_emb[:seq_len].astype(dtype)
+        role_ids = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.ones((seq_len - 1,), jnp.int32)]
+        )
+        role = role_emb[role_ids].astype(dtype)
+
+        embeds = fused + pos[None, :, :] + role[None, :, :]
+        embeds = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype)(embeds)
+        embeds = nn.Dropout(cfg.hidden_dropout_prob)(
+            embeds, deterministic=deterministic
+        )
+        return embeds
+
+
+def dual_attention_xla(
+    query: Array,
+    key: Array,
+    value: Array,
+    ctx: Array,
+    additive_mask: Optional[Array],
+    beta: float,
+    dropout_rate: float,
+    deterministic: bool,
+    dropout_rng: Optional[Array],
+) -> Array:
+    """Reference XLA implementation of the dual-attention core.
+
+    Inputs are [B, h, S, d]. Two attention distributions are blended:
+    P1 = softmax(1 - cosine_sim(ctx, ctx) + I) pushes attention toward
+    *dissimilar* neighbors (reference modeling_pmgt.py:435-458); P2 is
+    standard scaled dot-product attention (modeling_pmgt.py:464-513).
+    Output = (beta * P1 + (1 - beta) * P2) @ V.
+    """
+    b, h, s, d = query.shape
+    dtype = query.dtype
+
+    # Diversity-promoting scores.
+    ctx_norm = jnp.linalg.norm(ctx, axis=-1, keepdims=True)  # [B,h,S,1]
+    norm_outer = jnp.einsum("bhid,bhjd->bhij", ctx_norm, ctx_norm)
+    cos = jnp.einsum("bhid,bhjd->bhij", ctx, ctx) / jnp.maximum(
+        norm_outer, jnp.asarray(1e-12, dtype)
+    )
+    eye = jnp.eye(s, dtype=dtype)
+    scores1 = 1.0 - cos + eye[None, None]
+    if additive_mask is not None:
+        scores1 = scores1 + additive_mask
+    probs1 = jax.nn.softmax(scores1, axis=-1)
+
+    # Standard scaled dot-product scores.
+    scores2 = jnp.einsum("bhid,bhjd->bhij", query, key) / jnp.sqrt(
+        jnp.asarray(d, dtype)
+    )
+    if additive_mask is not None:
+        scores2 = scores2 + additive_mask
+    probs2 = jax.nn.softmax(scores2, axis=-1)
+
+    if not deterministic and dropout_rate > 0.0:
+        rng1, rng2 = jax.random.split(dropout_rng)
+        keep = 1.0 - dropout_rate
+        m1 = jax.random.bernoulli(rng1, keep, probs1.shape)
+        m2 = jax.random.bernoulli(rng2, keep, probs2.shape)
+        probs1 = jnp.where(m1, probs1 / keep, 0.0).astype(dtype)
+        probs2 = jnp.where(m2, probs2 / keep, 0.0).astype(dtype)
+
+    probs = beta * probs1 + (1.0 - beta) * probs2
+    return jnp.einsum("bhij,bhjd->bhid", probs, value)
+
+
+class PMGTSelfAttention(nn.Module):
+    """Dual self-attention (reference modeling_pmgt.py:378-534)."""
+
+    config: PMGTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: Array,
+        additive_mask: Optional[Array],
+        deterministic: bool = True,
+    ) -> Array:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        b, s, _ = hidden.shape
+        h, d = cfg.num_attention_heads, cfg.head_dim
+
+        def proj(name):
+            return nn.Dense(
+                cfg.hidden_size,
+                kernel_init=_normal_init(cfg.initializer_range),
+                dtype=dtype,
+                name=name,
+            )(hidden).reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+        query = proj("query")
+        key = proj("key")
+        value = proj("value")
+        ctx = proj("ctx_attention")
+
+        dropout_rng = None
+        if not deterministic and cfg.attention_probs_dropout_prob > 0.0:
+            dropout_rng = self.make_rng("dropout")
+
+        if cfg.attention_impl == "pallas":
+            from pmgt_tpu.ops.dual_attention import dual_attention_pallas
+
+            out = dual_attention_pallas(
+                query,
+                key,
+                value,
+                ctx,
+                additive_mask,
+                beta=cfg.beta,
+                dropout_rate=cfg.attention_probs_dropout_prob,
+                deterministic=deterministic,
+                dropout_rng=dropout_rng,
+            )
+        else:
+            out = dual_attention_xla(
+                query,
+                key,
+                value,
+                ctx,
+                additive_mask,
+                beta=cfg.beta,
+                dropout_rate=cfg.attention_probs_dropout_prob,
+                deterministic=deterministic,
+                dropout_rng=dropout_rng,
+            )
+        return out.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
+
+
+class PMGTLayer(nn.Module):
+    """Transformer block: dual attention + BERT-style FFN with post-LN
+    residuals (reference modeling_pmgt.py:287-325 and the HF
+    BertSelfOutput/BertIntermediate/BertOutput parts it reuses)."""
+
+    config: PMGTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: Array,
+        additive_mask: Optional[Array],
+        deterministic: bool = True,
+    ) -> Array:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+
+        attn = PMGTSelfAttention(cfg, name="self_attention")(
+            hidden, additive_mask, deterministic
+        )
+        attn = nn.Dense(
+            cfg.hidden_size,
+            kernel_init=_normal_init(cfg.initializer_range),
+            dtype=dtype,
+            name="attention_output",
+        )(attn)
+        attn = nn.Dropout(cfg.hidden_dropout_prob)(
+            attn, deterministic=deterministic
+        )
+        hidden = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="attention_norm"
+        )(attn + hidden)
+
+        inter = nn.Dense(
+            cfg.intermediate_size,
+            kernel_init=_normal_init(cfg.initializer_range),
+            dtype=dtype,
+            name="intermediate",
+        )(hidden)
+        # HF BERT's "gelu" is the exact erf formulation.
+        inter = jax.nn.gelu(inter, approximate=False)
+        out = nn.Dense(
+            cfg.hidden_size,
+            kernel_init=_normal_init(cfg.initializer_range),
+            dtype=dtype,
+            name="output",
+        )(inter)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(
+            out, deterministic=deterministic
+        )
+        return nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dtype, name="output_norm"
+        )(out + hidden)
+
+
+class PMGTModel(nn.Module):
+    """PMGT encoder trunk (reference modeling_pmgt.py:65-152)."""
+
+    config: PMGTConfig
+    add_pooling_layer: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        feat_embeds: Sequence[Array],
+        attention_mask: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[Array, Optional[Array]]:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        b, s = feat_embeds[0].shape[:2]
+
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, s), dtype)
+        additive = _additive_mask(attention_mask, dtype)[:, None, None, :]
+
+        hidden = PMGTEmbeddings(cfg, name="embeddings")(
+            feat_embeds, deterministic
+        )
+        for i in range(cfg.num_hidden_layers):
+            hidden = PMGTLayer(cfg, name=f"layer_{i}")(
+                hidden, additive, deterministic
+            )
+
+        pooled = None
+        if self.add_pooling_layer:
+            pooled = jnp.tanh(
+                nn.Dense(
+                    cfg.hidden_size,
+                    kernel_init=_normal_init(cfg.initializer_range),
+                    dtype=dtype,
+                    name="pooler",
+                )(hidden[:, 0])
+            )
+        return hidden, pooled
+
+
+def bce_with_logits(logits: Array, labels: Array) -> Array:
+    """Elementwise binary cross-entropy with logits (torch
+    BCEWithLogitsLoss semantics, no reduction)."""
+    return (
+        jnp.maximum(logits, 0.0)
+        - logits * labels
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+def gsr_loss_fn(
+    target_cls: Array,  # [B, H]
+    pair_cls: Array,  # [B, P, H]
+    labels: Array,  # [B, P]
+    pair_valid: Array,  # [B, P]
+) -> Tuple[Array, Array]:
+    """Graph Structure Reconstruction loss (reference
+    modeling_pmgt.py:537-546 + the per-sample loop models.py:104-127).
+
+    L2-normalize CLS states, dot-product logits, BCE-with-logits; mean over
+    each sample's valid pairs, then mean over samples (the reference's
+    mean-of-per-sample-means)."""
+    t = target_cls / jnp.maximum(
+        jnp.linalg.norm(target_cls, axis=-1, keepdims=True), 1e-12
+    )
+    p = pair_cls / jnp.maximum(
+        jnp.linalg.norm(pair_cls, axis=-1, keepdims=True), 1e-12
+    )
+    logits = jnp.einsum("bh,bph->bp", t, p)
+    per_pair = bce_with_logits(logits, labels) * pair_valid
+    counts = jnp.sum(pair_valid, axis=1)
+    per_sample = jnp.sum(per_pair, axis=1) / jnp.maximum(counts, 1.0)
+    sample_valid = (counts > 0).astype(per_sample.dtype)
+    loss = jnp.sum(per_sample * sample_valid) / jnp.maximum(
+        jnp.sum(sample_valid), 1.0
+    )
+    return loss, logits
+
+
+class PretrainOutput(NamedTuple):
+    loss: Array
+    gsr_loss: Array
+    nfr_loss: Array
+    logits: Array  # [B, P] pair logits
+    target_cls: Array  # [B, H]
+
+
+class PMGTForPreTraining(nn.Module):
+    """PMGT with GSR + NFR pretraining heads (reference
+    pmgt/pmgt/models.py:22-176).
+
+    The frozen multimodal feature tables are **inputs**, not parameters:
+    pass ``feat_tables`` (list of [N+2, F_m] arrays, rows 0/1 = <pad>/<mask>)
+    to every call. This keeps them out of the optimizer state entirely —
+    the TPU equivalent of the reference's ``requires_grad_(False)`` tables
+    (models.py:49-54) without DenseSparseAdam machinery.
+    """
+
+    config: PMGTConfig
+    node_size: int  # number of real nodes (excludes <pad>/<mask>)
+    random_node_ratio: float = 0.2 * 0.1
+    mask_node_ratio: float = 0.2 * 0.8
+
+    def setup(self):
+        self.bert = PMGTModel(self.config, name="bert")
+        self.nfr_projections = [
+            nn.Dense(
+                f,
+                kernel_init=_normal_init(self.config.initializer_range),
+                dtype=jnp.dtype(self.config.dtype),
+                name=f"nfr_projection_{i}",
+            )
+            for i, f in enumerate(self.config.feat_hidden_sizes)
+        ]
+
+    def _lookup(self, feat_tables: Sequence[Array], ids: Array) -> List[Array]:
+        """Per-modality feature lookup (reference pmgt/pmgt/utils.py:43-50)."""
+        return [jnp.asarray(t)[ids] for t in feat_tables]
+
+    def encode(
+        self,
+        feat_tables: Sequence[Array],
+        node_ids: Array,
+        attention_mask: Array,
+        deterministic: bool = True,
+    ) -> Array:
+        """Encoder pass over [B, S] node-id sequences → [B, S, H]."""
+        hidden, _ = self.bert(
+            self._lookup(feat_tables, node_ids), attention_mask, deterministic
+        )
+        return hidden
+
+    def __call__(
+        self,
+        feat_tables: Sequence[Array],
+        batch: PretrainBatch,
+        deterministic: bool = False,
+        compute_nfr: bool = True,
+    ) -> PretrainOutput:
+        b, p, s = batch.pair_ids.shape
+
+        if compute_nfr:
+            masked_ids, nfr_pos_mask, nfr_target_ids = self._corrupt(
+                batch.target_ids
+            )
+        else:
+            masked_ids = batch.target_ids  # placeholder lane, unused
+            nfr_pos_mask = jnp.zeros_like(batch.target_ids[:, 1:], jnp.float32)
+            nfr_target_ids = batch.target_ids[:, 1:]
+
+        # --- one fused encoder pass over target + pairs + masked lanes ---
+        all_ids = jnp.concatenate(
+            [batch.target_ids, batch.pair_ids.reshape(b * p, s), masked_ids]
+        )
+        all_mask = jnp.concatenate(
+            [
+                batch.target_mask,
+                batch.pair_mask.reshape(b * p, s),
+                batch.target_mask,
+            ]
+        )
+        hidden = self.encode(feat_tables, all_ids, all_mask, deterministic)
+
+        target_hidden = hidden[:b]
+        pair_cls = hidden[b : b + b * p, 0].reshape(b, p, -1)
+        masked_hidden = hidden[b + b * p :]
+
+        gsr, logits = gsr_loss_fn(
+            target_hidden[:, 0], pair_cls, batch.labels, batch.pair_valid
+        )
+
+        if compute_nfr:
+            nfr = self._nfr_loss(
+                feat_tables, masked_hidden, nfr_pos_mask, nfr_target_ids
+            )
+        else:
+            nfr = jnp.asarray(0.0, gsr.dtype)
+
+        return PretrainOutput(
+            loss=gsr + nfr,
+            gsr_loss=gsr,
+            nfr_loss=nfr,
+            logits=logits,
+            target_cls=target_hidden[:, 0],
+        )
+
+    def _corrupt(self, target_ids: Array):
+        """Random node replacement + masking for NFR (reference
+        models.py:129-151). Never touches position 0 (the target) or
+        padding; targets for reconstruction are the post-replacement ids."""
+        rng = self.make_rng("corruption")
+        r_replace, r_ids, r_mask = jax.random.split(rng, 3)
+        ctx = target_ids[:, 1:]
+        shape = ctx.shape
+
+        rand1 = jax.random.uniform(r_replace, shape)
+        replace = (rand1 < self.random_node_ratio) & (ctx != 0)
+        random_ids = jax.random.randint(
+            r_ids,
+            shape,
+            minval=NUM_SPECIAL_NODES,
+            maxval=self.node_size + NUM_SPECIAL_NODES,
+            dtype=ctx.dtype,
+        )
+        ctx_replaced = jnp.where(replace, random_ids, ctx)
+
+        rand2 = jax.random.uniform(r_mask, shape)
+        masked = (rand2 < self.mask_node_ratio) & (ctx_replaced != 0)
+        ctx_masked = jnp.where(masked, jnp.asarray(1, ctx.dtype), ctx_replaced)
+
+        masked_ids = jnp.concatenate([target_ids[:, :1], ctx_masked], axis=1)
+        return masked_ids, masked.astype(jnp.float32), ctx_replaced
+
+    def _nfr_loss(
+        self,
+        feat_tables: Sequence[Array],
+        masked_hidden: Array,  # [B, S, H]
+        pos_mask: Array,  # [B, S-1] — 1 where a context slot was masked
+        target_ids: Array,  # [B, S-1] — pre-masking (post-replacement) ids
+    ) -> Array:
+        """Node Feature Reconstruction: per-modality linear projection of
+        masked-position hidden states, MSE against the original modality
+        embeddings, mean over modalities (reference
+        modeling_pmgt.py:549-569)."""
+        ctx_hidden = masked_hidden[:, 1:]  # [B, S-1, H]
+        count = jnp.sum(pos_mask)
+        losses = []
+        for proj, table in zip(self.nfr_projections, feat_tables):
+            pred = proj(ctx_hidden)  # [B, S-1, F]
+            target = jnp.asarray(table)[target_ids].astype(pred.dtype)
+            sq = jnp.sum((pred - target) ** 2, axis=-1)  # [B, S-1]
+            denom = jnp.maximum(count * pred.shape[-1], 1.0)
+            losses.append(jnp.sum(sq * pos_mask) / denom)
+        return jnp.mean(jnp.stack(losses))

@@ -1,0 +1,170 @@
+"""Positive/negative pair sampling and pretraining batch assembly.
+
+Reference semantics (pmgt/pmgt/datasets.py:113-183):
+- positives: ``min(max_total_samples - min_neg_samples, degree)`` direct
+  neighbors sampled uniformly *without* replacement (datasets.py:167-171);
+- negatives: rejection-sampled uniform non-neighbors in [2, N+2)
+  (datasets.py:173-180); in training the total pair count is always exactly
+  ``max_total_samples`` (= num_pos + max(min_neg, total - num_pos));
+- evaluation uses 1 positive + 1 negative per target (datasets.py:125-127).
+
+TPU-native differences:
+- Everything is fixed-shape: pairs live in a dense [B, P] tensor with a
+  validity mask instead of the reference's ragged ``num_pairs`` flattening
+  (datasets.py:186-208).
+- Without-replacement sampling uses random-key top-k over the padded
+  neighbor list; rejection sampling draws a fixed number of rounds and
+  takes the first non-neighbor (the miss probability is (deg/N)^rounds,
+  negligible for real graphs).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pmgt_tpu.core.config import SamplingConfig
+from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
+from pmgt_tpu.sampling.mcn import sample_context, _scatter_set_rows
+
+
+class PretrainBatch(NamedTuple):
+    """One fused PMGT pretraining batch (all fixed shapes).
+
+    S = 1 + max_ctx_neigh; P = pairs per target (max_total_samples when
+    training, 2 for eval).
+    """
+
+    target_ids: jnp.ndarray  # [B, S] int32
+    target_mask: jnp.ndarray  # [B, S] float32
+    pair_ids: jnp.ndarray  # [B, P, S] int32
+    pair_mask: jnp.ndarray  # [B, P, S] float32 (attention mask)
+    labels: jnp.ndarray  # [B, P] float32 (1 = pos, 0 = neg)
+    pair_valid: jnp.ndarray  # [B, P] float32 (0 = padded-out pair slot)
+
+
+def sample_pairs(
+    graph: PaddedGraph,
+    targets: jnp.ndarray,
+    key: jax.Array,
+    cfg: SamplingConfig,
+    is_training: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample pos/neg pair nodes for each target.
+
+    Returns:
+        pair_nodes: [B, P] int32 node ids (pos slots first, then negs).
+        labels: [B, P] float32.
+        pair_valid: [B, P] float32 — 0 only when a pos slot could not be
+            filled (isolated target in eval mode).
+    """
+    nbr_ids = jnp.asarray(graph.nbr_ids)
+    degrees = jnp.asarray(graph.degrees)
+    n_total = nbr_ids.shape[0]
+    batch = targets.shape[0]
+
+    max_pos = (
+        cfg.max_total_samples - cfg.min_neg_samples if is_training else 1
+    )
+    total = cfg.max_total_samples if is_training else 2
+
+    key_pos, key_neg = jax.random.split(key)
+
+    # --- positives: uniform without replacement over direct neighbors ---
+    t_nbrs = nbr_ids[targets]  # [B, D]
+    t_deg = degrees[targets]  # [B]
+    d = t_nbrs.shape[1]
+    rand_keys = jax.random.uniform(key_pos, (batch, d))
+    valid_nbr = jnp.arange(d)[None, :] < t_deg[:, None]
+    rand_keys = jnp.where(valid_nbr, rand_keys, -jnp.inf)
+    _, pos_idx = jax.lax.top_k(rand_keys, max_pos)  # [B, max_pos]
+    pos_nodes = jnp.take_along_axis(t_nbrs, pos_idx, axis=1)  # [B, max_pos]
+    num_pos = jnp.minimum(t_deg, max_pos)  # [B]
+    pos_slot = jnp.arange(max_pos)[None, :] < num_pos[:, None]
+    pos_nodes = jnp.where(pos_slot, pos_nodes, 0)
+
+    # --- negatives: fixed-round rejection sampling --------------------
+    # Dense membership of each target's neighborhood: [B, N_total] bool.
+    member = jnp.zeros((batch, n_total), dtype=jnp.float32)
+    member = _scatter_set_rows(member, t_nbrs, 1.0)
+    # <pad> may have been marked via padded neighbor slots; clear specials
+    # so they never influence candidate checks (candidates are >= 2 anyway).
+    member = member.at[:, :NUM_SPECIAL_NODES].set(0.0)
+
+    rounds = cfg.neg_rejection_rounds
+    cand = jax.random.randint(
+        key_neg,
+        (batch, total, rounds),
+        minval=NUM_SPECIAL_NODES,
+        maxval=n_total,
+        dtype=jnp.int32,
+    )
+    is_nbr = jnp.take_along_axis(
+        member, cand.reshape(batch, -1), axis=1
+    ).reshape(batch, total, rounds)
+    ok = is_nbr == 0.0
+    first_ok = jnp.argmax(ok, axis=-1)  # [B, total]; 0 if none ok
+    neg_nodes = jnp.take_along_axis(cand, first_ok[..., None], axis=-1)[..., 0]
+
+    # --- lay out pos slots first, negatives fill the rest -------------
+    slot = jnp.arange(total)[None, :]  # [1, P]
+    pos_padded = jnp.pad(pos_nodes, ((0, 0), (0, total - max_pos)))
+    is_pos = slot < num_pos[:, None]
+    pair_nodes = jnp.where(is_pos, pos_padded, neg_nodes).astype(jnp.int32)
+    labels = is_pos.astype(jnp.float32)
+
+    if is_training:
+        # Training always fills all P slots (num_neg tops up to P).
+        pair_valid = jnp.ones((batch, total), jnp.float32)
+    else:
+        # Eval: slot 0 is the positive (invalid if the target is isolated),
+        # slot 1 the negative.
+        pair_valid = jnp.where(
+            (slot == 0) & (num_pos[:, None] == 0), 0.0, 1.0
+        ) * jnp.ones((batch, 1), jnp.float32)
+        # Isolated targets get the neg candidate in slot 0 as well, but the
+        # mask removes it from every loss/metric.
+        pair_nodes = jnp.where(
+            (slot == 0) & (num_pos[:, None] == 0), neg_nodes, pair_nodes
+        )
+
+    return pair_nodes, labels, pair_valid
+
+
+def make_pretrain_batch(
+    graph: PaddedGraph,
+    targets: jnp.ndarray,
+    key: jax.Array,
+    cfg: SamplingConfig,
+    is_training: bool = True,
+) -> PretrainBatch:
+    """Assemble a full fixed-shape PMGT pretraining batch on device.
+
+    Collapses the reference's per-sample Python loop of encoder calls
+    (reference pmgt/pmgt/models.py:104-127) into dense [B, P, S] tensors
+    consumed by a single batched encoder pass.
+    """
+    batch = targets.shape[0]
+    key_ctx, key_pairs, key_pair_ctx = jax.random.split(key, 3)
+
+    target_ids, target_mask = sample_context(graph, targets, key_ctx, cfg)
+    pair_nodes, labels, pair_valid = sample_pairs(
+        graph, targets, key_pairs, cfg, is_training
+    )
+
+    p = pair_nodes.shape[1]
+    flat_pairs = pair_nodes.reshape(-1)
+    pair_ids, pair_mask = sample_context(graph, flat_pairs, key_pair_ctx, cfg)
+    seq = target_ids.shape[1]
+    pair_ids = pair_ids.reshape(batch, p, seq)
+    pair_mask = pair_mask.reshape(batch, p, seq)
+
+    return PretrainBatch(
+        target_ids=target_ids,
+        target_mask=target_mask,
+        pair_ids=pair_ids,
+        pair_mask=pair_mask,
+        labels=labels,
+        pair_valid=pair_valid,
+    )
