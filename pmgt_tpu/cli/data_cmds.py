@@ -1,0 +1,88 @@
+"""Data commands: synthetic dataset generation and offline preprocessing."""
+from __future__ import annotations
+
+import logging
+
+import click
+
+from pmgt_tpu.cli.main import cli
+
+logger = logging.getLogger("pmgt_tpu")
+
+
+@cli.command(context_settings={"show_default": True})
+@click.option("--out-dir", type=click.Path(), required=True)
+@click.option("--num-nodes", type=click.INT, default=2000)
+@click.option("--num-users", type=click.INT, default=5000)
+@click.option("--visual-dim", type=click.INT, default=1536)
+@click.option("--textual-dim", type=click.INT, default=768)
+@click.option("--avg-degree", type=click.INT, default=16)
+@click.option("--interactions-per-user", type=click.INT, default=12)
+@click.option("--seed", type=click.INT, default=0)
+def make_synthetic(
+    out_dir,
+    num_nodes,
+    num_users,
+    visual_dim,
+    textual_dim,
+    avg_degree,
+    interactions_per_user,
+    seed,
+):
+    """Generate a synthetic dataset in the native artifact format."""
+    from pmgt_tpu.data.artifacts import save_native
+    from pmgt_tpu.data.synthetic import make_synthetic_dataset
+
+    art = make_synthetic_dataset(
+        num_nodes=num_nodes,
+        num_users=num_users,
+        feat_dims=(visual_dim, textual_dim),
+        avg_degree=avg_degree,
+        interactions_per_user=interactions_per_user,
+        seed=seed,
+    )
+    save_native(out_dir, art)
+    logger.info(
+        "wrote synthetic dataset to %s (%d nodes, %d users, %d train pairs)",
+        out_dir,
+        art.num_nodes,
+        art.num_users,
+        len(art.train_pairs),
+    )
+
+
+@cli.command(context_settings={"show_default": True})
+@click.option("--raw-dir", type=click.Path(exists=True), required=True,
+              help="directory with reviews.json[.gz] and optional metadata")
+@click.option("--out-dir", type=click.Path(), required=True)
+@click.option("--dataset-name", type=click.STRING, required=True)
+@click.option("--min-common-users", type=click.INT, default=3)
+@click.option("--split-date", type=click.STRING, default="2015-01-01")
+@click.option("--test-size", type=click.FLOAT, default=0.2)
+@click.option("--seed", type=click.INT, default=0)
+@click.option("--extract-features/--no-extract-features", default=False,
+              help="run Inception-v4/BERT feature extraction (needs timm weights)")
+def preprocess(
+    raw_dir,
+    out_dir,
+    dataset_name,
+    min_common_users,
+    split_date,
+    test_size,
+    seed,
+    extract_features,
+):
+    """Offline preprocessing: reviews → item graph + splits + features
+    (replaces the reference notebook pipeline, SURVEY.md §3.5)."""
+    from pmgt_tpu.data.preprocess import run_preprocess
+
+    run_preprocess(
+        raw_dir=raw_dir,
+        out_dir=out_dir,
+        dataset_name=dataset_name,
+        min_common_users=min_common_users,
+        split_date=split_date,
+        test_size=test_size,
+        seed=seed,
+        extract_features=extract_features,
+    )

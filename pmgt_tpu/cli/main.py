@@ -1,0 +1,310 @@
+"""CLI: train-pmgt / train-ncf / train-dcn / hp-tuning / preprocess.
+
+Mirrors the reference's click command surface (train.py:18-295, main.py,
+hp_tuning.py:113-147) including ``--save-args`` config dumping. The
+``train_model`` dispatcher reproduces the reference's workload contract
+dispatch (train.py:298-344) and its FAILED-status handling.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import sys
+import time
+from typing import Dict, Optional
+
+import click
+import numpy as np
+
+from pmgt_tpu.core.config import TrainArgs
+from pmgt_tpu.train.registry import RunRegistry
+
+logger = logging.getLogger("pmgt_tpu")
+
+
+def log_elapsed_time(func):
+    """reference pmgt/utils/base.py:20-32."""
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        start = time.time()
+        result = func(*args, **kwargs)
+        elapsed = time.time() - start
+        logger.info("elapsed time of %s: %.1fs", func.__name__, elapsed)
+        return result
+
+    return wrapper
+
+
+@click.group()
+@click.option(
+    "--save-args",
+    type=click.Path(),
+    default=None,
+    help="Save resolved arguments to a JSON file and exit (reference main.py:9-13)",
+)
+@click.pass_context
+def cli(ctx: click.Context, save_args: Optional[str]):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+        stream=sys.stderr,
+    )
+    ctx.ensure_object(dict)
+    ctx.obj["save_args"] = save_args
+
+
+# --------------------------------------------------------------------------
+# Common options (reference train.py:18-70)
+# --------------------------------------------------------------------------
+_common_options = [
+    click.option("--seed", type=click.INT, default=0, help="Seed for reproducibility"),
+    click.option("--run-id", type=click.STRING, help="Run ID for resume training"),
+    click.option("--model-name", type=click.STRING, required=True),
+    click.option("--dataset-name", type=click.STRING, required=True),
+    click.option("--valid-size", default=0.2, help="validation dataset size"),
+    click.option("--num-epochs", type=click.INT, default=20),
+    click.option("--optim", type=click.Choice(["adamw", "sgd"]), default="adamw"),
+    click.option("--lr", type=click.FLOAT, default=1e-3),
+    click.option("--decay", type=click.FLOAT, default=1e-2, help="Weight decay"),
+    click.option("--mp-enabled", is_flag=True, default=False, help="bf16 compute"),
+    click.option("--early", type=click.INT, default=5, help="Early stopping patience"),
+    click.option("--early-criterion", type=click.STRING, default="loss"),
+    click.option("--num-workers", type=click.INT, default=0, help="unused on TPU (kept for config compatibility)"),
+    click.option("--train-batch-size", type=click.INT, default=256),
+    click.option("--test-batch-size", type=click.INT, default=256),
+    click.option("--gradient-max-norm", type=click.FLOAT, default=None),
+    click.option("--accumulation-step", type=click.INT, default=1),
+    click.option("--scheduler-warmup", type=click.FloatRange(0, 1), default=None),
+    click.option(
+        "--scheduler-type",
+        type=click.Choice(
+            [
+                "linear",
+                "cosine",
+                "cosine_with_restarts",
+                "polynomial",
+                "constant",
+                "constant_with_warmup",
+            ]
+        ),
+        default=None,
+    ),
+    click.option(
+        "--mode",
+        type=click.Choice(["train", "eval", "inference"]),
+        default="train",
+    ),
+    click.option("--inference-result-path", type=click.Path(), default=None),
+    click.option("--experiment-name", type=click.STRING, default="baseline"),
+    click.option("--run-name", type=click.STRING, default=None),
+    click.option("--tags", type=(str, str), multiple=True),
+    click.option("--data-dir", type=click.Path(), default="./data"),
+    click.option("--log-dir", type=click.Path(), default="./logs"),
+    click.option("--run-script", type=click.Path(exists=True), default=None),
+    click.option("--num-devices", type=click.INT, default=None, help="TPU devices to use (default: all)"),
+    click.option("--profile-dir", type=click.Path(), default=None, help="jax.profiler trace output dir"),
+]
+
+_COMMON_KEYS = {
+    "seed",
+    "run_id",
+    "model_name",
+    "dataset_name",
+    "valid_size",
+    "num_epochs",
+    "optim",
+    "lr",
+    "decay",
+    "mp_enabled",
+    "early",
+    "early_criterion",
+    "train_batch_size",
+    "test_batch_size",
+    "gradient_max_norm",
+    "accumulation_step",
+    "scheduler_warmup",
+    "scheduler_type",
+    "mode",
+    "inference_result_path",
+    "experiment_name",
+    "run_name",
+    "tags",
+    "data_dir",
+    "log_dir",
+    "run_script",
+    "num_devices",
+    "profile_dir",
+}
+
+
+def add_options(options):
+    def _add(func):
+        for option in reversed(options):
+            func = option(func)
+        return func
+
+    return _add
+
+
+def _make_args(raw: Dict) -> TrainArgs:
+    raw.pop("num_workers", None)  # host loader workers: meaningless here
+    base = {k: v for k, v in raw.items() if k in _COMMON_KEYS}
+    extra = {k: v for k, v in raw.items() if k not in _COMMON_KEYS}
+    base["tags"] = tuple(tuple(t) for t in base.get("tags", ()))
+    args = TrainArgs(**base, extra=extra)
+    return args
+
+
+def _dispatch(ctx: click.Context, train_name: str, raw_args: Dict):
+    args = _make_args(raw_args)
+    if ctx.obj.get("save_args"):
+        args.save(ctx.obj["save_args"])
+        logger.info("saved args to %s", ctx.obj["save_args"])
+        return None
+    return train_model(train_name, args)
+
+
+# --------------------------------------------------------------------------
+# train-ncf (reference train.py:84-152)
+# --------------------------------------------------------------------------
+@cli.command(context_settings={"show_default": True})
+@add_options(_common_options)
+@click.option("--emb-dropout", type=click.FLOAT, default=0.0)
+@click.option("--dropout", type=click.FLOAT, default=0.0)
+@click.option("--layer-norm-eps", type=click.FLOAT, default=1e-12)
+@click.option("--use-layer-norm", is_flag=True, default=False)
+@click.option("--alpha", type=click.FLOAT, default=0.5, help="GMF/MLP blend for NeuMF-pre")
+@click.option("--factor-num", type=click.INT, default=32)
+@click.option("--num-layers", type=click.INT, default=3)
+@click.option("--num-ng", type=click.INT, default=1)
+@click.option("--max-sample-items", type=click.INT, default=1000)
+@click.option("--gmf-run-id", type=click.STRING, default=None)
+@click.option("--mlp-run-id", type=click.STRING, default=None)
+@click.option("--item-init-emb-path", type=click.Path(exists=True), default=None)
+@click.option("--freeze-item-init-emb", is_flag=True, default=False)
+@click.option("--normalize-item-init-emb", is_flag=True, default=False)
+@click.pass_context
+def train_ncf(ctx: click.Context, **raw_args):
+    """Train NCF (GMF / MLP / NeuMF-end / NeuMF-pre)."""
+    _dispatch(ctx, "ncf", raw_args)
+
+
+# --------------------------------------------------------------------------
+# train-dcn (reference train.py:155-220)
+# --------------------------------------------------------------------------
+@cli.command(context_settings={"show_default": True})
+@add_options(_common_options)
+@click.option("--emb-dropout", type=click.FLOAT, default=0.0)
+@click.option("--dropout", type=click.FLOAT, default=0.0)
+@click.option("--layer-norm-eps", type=click.FLOAT, default=1e-12)
+@click.option("--use-layer-norm", is_flag=True, default=False)
+@click.option("--factor-num", type=click.INT, default=32)
+@click.option("--deep-net-num-layers", type=click.INT, default=3)
+@click.option("--cross-net-num-layers", type=click.INT, default=3)
+@click.option("--num-ng", type=click.INT, default=1)
+@click.option("--max-sample-items", type=click.INT, default=5)
+@click.option("--item-init-emb-path", type=click.Path(exists=True), default=None)
+@click.option("--freeze-item-init-emb", is_flag=True, default=False)
+@click.option("--normalize-item-init-emb", is_flag=True, default=False)
+@click.pass_context
+def train_dcn(ctx: click.Context, **raw_args):
+    """Train DCN."""
+    _dispatch(ctx, "dcn", raw_args)
+
+
+# --------------------------------------------------------------------------
+# train-pmgt (reference train.py:223-295)
+# --------------------------------------------------------------------------
+@cli.command(context_settings={"show_default": True})
+@add_options(_common_options)
+@click.option("--max-ctx-neigh", type=click.INT, default=5)
+@click.option(
+    "--hop-sampling-sizes", type=click.INT, multiple=True, default=[16, 8, 4]
+)
+@click.option("--max-total-samples", type=click.INT, default=10)
+@click.option("--min-neg-samples", type=click.INT, default=5)
+@click.option("--hidden-size", type=click.INT, default=128)
+@click.option("--intermediate-size", type=click.INT, default=128)
+@click.option("--num-hidden-layers", type=click.INT, default=5)
+@click.option("--num-attention-heads", type=click.INT, default=1)
+@click.option("--beta", type=click.FLOAT, default=0.5)
+@click.option("--random-node-ratio", type=click.FLOAT, default=0.2 * 0.1)
+@click.option("--mask-node-ratio", type=click.FLOAT, default=0.2 * 0.8)
+@click.option(
+    "--attention-impl",
+    type=click.Choice(["xla", "pallas"]),
+    default="xla",
+    help="dual-attention kernel implementation",
+)
+@click.pass_context
+def train_pmgt(ctx: click.Context, **raw_args):
+    """Pre-train PMGT."""
+    _dispatch(ctx, "pmgt", raw_args)
+
+
+# --------------------------------------------------------------------------
+# dispatcher (reference train.py:298-344)
+# --------------------------------------------------------------------------
+@log_elapsed_time
+def train_model(
+    train_name: str,
+    args: TrainArgs,
+    is_hptuning: bool = False,
+    trial=None,
+    enable_trial_pruning: bool = False,
+):
+    assert train_name in ("ncf", "pmgt", "dcn")
+
+    if train_name == "ncf":
+        from pmgt_tpu.tasks import ncf_task as trainer
+    elif train_name == "pmgt":
+        from pmgt_tpu.tasks import pmgt_task as trainer
+    else:
+        from pmgt_tpu.tasks import dcn_task as trainer
+
+    ctx: Dict = {}
+    trainer.check_args(args)
+    trainer.init_run(args)
+    trainer.init_dataloader(args, ctx)
+    trainer.init_model(
+        args, ctx, trial=trial if enable_trial_pruning else None
+    )
+
+    registry = RunRegistry(args.log_dir)
+    if args.run_id is not None:
+        run = registry.get_run(args.run_id)
+    else:
+        run = registry.create_run(
+            args.experiment_name,
+            args.to_dict(),
+            run_name=args.run_name,
+            tags=dict(args.tags),
+            run_script=args.run_script,
+        )
+        logger.info("run_id: %s", run.run_id)
+
+    if args.mode == "inference":
+        logger.info("Inference mode")
+        return trainer.inference(args, ctx, registry, run)
+
+    try:
+        if args.mode == "train":
+            trainer.train(args, ctx, registry, run)
+        if args.mode == "eval":
+            logger.info("Eval mode")
+        results = trainer.test(args, ctx, registry, run)
+        registry.set_status(run, "FINISHED")
+        logger.info("test results: %s", results)
+        return results
+    except Exception:
+        registry.set_status(run, "FAILED")
+        raise
+
+
+def main():
+    cli(obj={})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""Shared plumbing for pointwise user-item workloads (NCF, DCN).
+
+Covers what the reference duplicates across ncf/trainer.py and
+dcn/trainer.py: split construction, per-epoch negative resampling
+(ncf/trainer.py:191-193), the jitted BCE train step with optional gradient
+accumulation and frozen-embedding masking, and batch iteration.
+"""
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, Dict, Iterable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pmgt_tpu.core.config import TrainArgs
+from pmgt_tpu.core.mesh import batch_sharding, make_mesh, replicated
+from pmgt_tpu.data.interactions import InteractionData, epoch_training_arrays
+from pmgt_tpu.models.pmgt import bce_with_logits
+from pmgt_tpu.train.optim import make_optimizer
+
+logger = logging.getLogger("pmgt_tpu")
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+
+
+class InteractionTaskBase:
+    """Subclasses set ``self.model`` (a flax module scoring (user, item) →
+    logit) and implement ``evaluate``."""
+
+    # name of the embedding table to freeze when freeze_item_init_emb is
+    # set (reference ncf/trainer.py:179, dcn/trainer.py:138).
+    frozen_param: Optional[str] = None
+
+    def __init__(
+        self,
+        args: TrainArgs,
+        train_data: InteractionData,
+        valid_data: InteractionData,
+        test_data: InteractionData,
+        trial=None,
+    ):
+        self.args = args
+        self.train_data = train_data
+        self.valid_data = valid_data
+        self.test_data = test_data
+        self.trial = trial
+        self.mesh = make_mesh(args.num_devices)
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._replicated = replicated(self.mesh)
+        self.num_ng = args.extra.get("num_ng", 1)
+        self._epoch_arrays: Optional[Tuple[np.ndarray, ...]] = None
+
+    def finish_init(self, params) -> None:
+        """Call after the subclass created the model and params."""
+        args = self.args
+        params = jax.device_put(params, self._replicated)
+        m = len(self.train_data.pairs) * (1 + self.num_ng)
+        steps_per_epoch = max(m // args.train_batch_size, 1)
+        self.tx = make_optimizer(
+            params,
+            optim=args.optim,
+            lr=args.lr,
+            decay=args.decay,
+            scheduler_type=args.scheduler_type,
+            total_steps=steps_per_epoch * args.num_epochs,
+            warmup_ratio=args.scheduler_warmup,
+            gradient_max_norm=args.gradient_max_norm,
+        )
+        self.state = TrainState(
+            params, jax.device_put(self.tx.init(params), self._replicated)
+        )
+        freeze = (
+            self.frozen_param
+            if self.args.extra.get("freeze_item_init_emb")
+            and self.args.extra.get("item_init_emb_path")
+            else None
+        )
+        self._train_step_fn = jax.jit(
+            partial(
+                self._train_step_impl,
+                accum=args.accumulation_step,
+                freeze=freeze,
+            ),
+            static_argnames=("accum", "freeze"),
+            donate_argnums=(0,),
+        )
+        self._score_fn = jax.jit(self._score_impl)
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, users, items, labels, key):
+        logits = self.model.apply(
+            {"params": params},
+            users,
+            items,
+            deterministic=False,
+            rngs={"dropout": key},
+        )
+        return jnp.mean(bce_with_logits(logits, labels))
+
+    def _train_step_impl(
+        self, state: TrainState, users, items, labels, key, accum: int, freeze
+    ):
+        def grads_of(u, i, l, k):
+            return jax.value_and_grad(self._loss_fn)(state.params, u, i, l, k)
+
+        if accum == 1:
+            loss, grads = grads_of(users, items, labels, key)
+        else:
+            sh = (accum, -1)
+            keys = jax.random.split(key, accum)
+
+            def body(carry, xs):
+                u, i, l, k = xs
+                loss, grads = grads_of(u, i, l, k)
+                acc_g, acc_l = carry
+                return (jax.tree.map(jnp.add, acc_g, grads), acc_l + loss), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss), _ = jax.lax.scan(
+                body,
+                (zeros, 0.0),
+                (
+                    users.reshape(sh),
+                    items.reshape(sh),
+                    labels.reshape(sh),
+                    keys,
+                ),
+            )
+            inv = 1.0 / accum
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss = loss * inv
+
+        if freeze is not None:
+            grads = dict(grads)
+            grads[freeze] = jax.tree.map(jnp.zeros_like, grads[freeze])
+
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state), {"loss": loss}
+
+    def _score_impl(self, params, users, items):
+        """Deterministic scoring (eval): logits for (user, item)."""
+        return self.model.apply({"params": params}, users, items, deterministic=True)
+
+    # ------------------------------------------------------------------
+    # engine Task protocol
+    # ------------------------------------------------------------------
+    def on_epoch_start(self, epoch: int) -> None:
+        key = jax.random.key(np.uint32(self.args.seed * 7_001 + epoch))
+        users, items, labels = epoch_training_arrays(
+            self.train_data, self.num_ng, key
+        )
+        rng = np.random.default_rng(self.args.seed * 11 + epoch)
+        perm = rng.permutation(len(users))
+        self._epoch_arrays = (users[perm], items[perm], labels[perm])
+
+    def train_batches(self, epoch: int) -> Iterable[Any]:
+        if self._epoch_arrays is None:
+            self.on_epoch_start(epoch)
+        users, items, labels = self._epoch_arrays
+        bs = self.args.train_batch_size
+        n_full = len(users) // bs
+        for i in range(n_full):
+            sl = slice(i * bs, (i + 1) * bs)
+            yield (
+                jax.device_put(users[sl].astype(np.int32), self._batch_sharding),
+                jax.device_put(items[sl].astype(np.int32), self._batch_sharding),
+                jax.device_put(labels[sl], self._batch_sharding),
+                jax.random.key(np.uint32(self.args.seed * 13 + epoch * 100_003 + i)),
+            )
+
+    def train_step(self, state, batch):
+        users, items, labels, key = batch
+        return self._train_step_fn(state, users, items, labels, key)
+
+    def should_prune(self, value: float, epoch: int) -> bool:
+        if self.trial is None:
+            return False
+        self.trial.report(value, epoch)
+        return bool(self.trial.should_prune())

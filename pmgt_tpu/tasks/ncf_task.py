@@ -1,0 +1,262 @@
+"""NCF workload: GMF / MLP / NeuMF-end / NeuMF-pre, with optional
+PMGT-pretrained item embeddings (the paper's NeuMF-PMGT configuration).
+
+Behavioral reference: pmgt/ncf/trainer.py. The per-user Python scoring loop
+(ncf/trainer.py:202-219) becomes one batched forward over [B, L] candidate
+grids followed by an on-device top-k.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmgt_tpu.core.config import TrainArgs
+from pmgt_tpu.data.artifacts import (
+    DatasetArtifacts,
+    load_artifacts,
+    load_node_init_emb,
+)
+from pmgt_tpu.data.interactions import (
+    InteractionData,
+    build_eval_candidates,
+    train_valid_split,
+)
+from pmgt_tpu.metrics.ranking import get_ndcg, get_recall
+from pmgt_tpu.models.ncf import NCF, fuse_neumf_params, inject_item_embeddings
+from pmgt_tpu.tasks.interaction_base import InteractionTaskBase, TrainState
+from pmgt_tpu.train import engine
+from pmgt_tpu.train.checkpoints import restore_checkpoint
+from pmgt_tpu.train.registry import RunRegistry
+
+logger = logging.getLogger("pmgt_tpu")
+
+TOPK = 100  # reference scores each user's candidates and keeps top-100
+# (ncf/trainer.py:213-214)
+
+
+class NCFTask(InteractionTaskBase):
+    frozen_param = "embed_item_MLP"
+
+    def __init__(
+        self, args, artifacts, train_data, valid_data, test_data, trial=None
+    ):
+        super().__init__(args, train_data, valid_data, test_data, trial)
+        self._artifacts = artifacts
+        e = args.extra
+        self.model = NCF(
+            user_num=train_data.num_users,
+            item_num=train_data.num_items,
+            factor_num=e.get("factor_num", 32),
+            num_layers=e.get("num_layers", 3),
+            emb_dropout=e.get("emb_dropout", 0.0),
+            dropout=e.get("dropout", 0.0),
+            use_layer_norm=e.get("use_layer_norm", False),
+            layer_norm_eps=e.get("layer_norm_eps", 1e-12),
+            model=args.model_name,
+        )
+        params = jax.jit(self.model.init)(
+            {"params": jax.random.key(args.seed)},
+            jnp.zeros((2,), jnp.int32),
+            jnp.zeros((2,), jnp.int32),
+        )["params"]
+        params = self._apply_pretrained(dict(params))
+        self.finish_init(params)
+        self._rank_fn = jax.jit(self._rank_impl)
+
+    def _apply_pretrained(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """NeuMF-pre fusion from GMF/MLP runs + optional PMGT item-embedding
+        injection (reference ncf/trainer.py:107-180)."""
+        args = self.args
+        registry = RunRegistry(args.log_dir)
+
+        def load_run_params(run_id):
+            path = registry.get_ckpt_path(run_id, load_best=True)
+            payload = restore_checkpoint(path)
+            return payload["state"]["params"]
+
+        gmf_run = args.extra.get("gmf_run_id")
+        mlp_run = args.extra.get("mlp_run_id")
+        if args.model_name == "NeuMF-pre":
+            if not (gmf_run and mlp_run):
+                raise ValueError("NeuMF-pre requires gmf_run_id and mlp_run_id")
+            params = fuse_neumf_params(
+                params,
+                load_run_params(gmf_run),
+                load_run_params(mlp_run),
+                alpha=args.extra.get("alpha", 0.5),
+            )
+
+        emb_path = args.extra.get("item_init_emb_path")
+        if emb_path:
+            art = self._artifacts
+            emb = load_node_init_emb(
+                art.item_classes,
+                art.node_classes,
+                np.load(emb_path),
+                normalize=args.extra.get("normalize_item_init_emb", False),
+                seed=args.seed,
+            )
+            # Project/check against factor_num * 2^(num_layers-1).
+            params = inject_item_embeddings(params, emb, "embed_item_MLP")
+            logger.info("injected PMGT item embeddings from %s", emb_path)
+        return params
+
+    # ------------------------------------------------------------------
+    def _rank_impl(self, params, users, candidates, cand_mask):
+        """[B] users × [B, L] candidates → top-100 candidate item ids."""
+        u = jnp.broadcast_to(users[:, None], candidates.shape)
+        logits = self.model.apply(
+            {"params": params}, u, candidates, deterministic=True
+        )
+        neg_inf = jnp.finfo(logits.dtype).min
+        masked = jnp.where(cand_mask > 0, logits, neg_inf)
+        _, top_idx = jax.lax.top_k(masked, min(TOPK, masked.shape[1]))
+        top_items = jnp.take_along_axis(candidates, top_idx, axis=1)
+        return top_items, logits
+
+    def evaluate(self, state, split: str = "valid") -> Dict[str, float]:
+        params = state.params if isinstance(state, TrainState) else state
+        data = self.valid_data if split == "valid" else self.test_data
+        key = jax.random.key(np.uint32(self.args.seed * 17 + (split == "test")))
+        users, candidates, cand_mask, labels = build_eval_candidates(
+            data, self.args.extra.get("max_sample_items", 1000), key
+        )
+        bs = max(self.args.test_batch_size // 8, self.mesh.size)
+        preds = []
+        losses = []
+        for i in range(0, len(users), bs):
+            sl = slice(i, i + bs)
+            u = users[sl]
+            pad = (-len(u)) % max(bs, self.mesh.size)
+            if pad:
+                u = np.concatenate([u, np.zeros(pad, np.int32)])
+                c = np.concatenate(
+                    [candidates[sl], np.zeros((pad,) + candidates.shape[1:], np.int32)]
+                )
+                m = np.concatenate(
+                    [cand_mask[sl], np.zeros((pad,) + cand_mask.shape[1:], np.float32)]
+                )
+            else:
+                c, m = candidates[sl], cand_mask[sl]
+            top_items, logits = self._rank_fn(
+                jax.device_put(params, self._replicated),
+                jax.device_put(u, self._batch_sharding),
+                jax.device_put(c, self._batch_sharding),
+                jax.device_put(m, self._batch_sharding),
+            )
+            n = len(users[sl])
+            preds.append(np.asarray(top_items)[:n])
+            lg = np.asarray(logits)[:n]
+            lb = labels[sl]
+            mk = cand_mask[sl]
+            bce = np.maximum(lg, 0) - lg * lb + np.log1p(np.exp(-np.abs(lg)))
+            losses.append((bce * mk).sum() / np.maximum(mk.sum(), 1))
+
+        prediction = np.concatenate(preds)
+        gt_sets = [
+            data.user_pos[r, : data.user_pos_count[r]].tolist()
+            for r in range(len(users))
+        ]
+        prefix = "val" if split == "valid" else "test"
+        results = {f"{prefix}/loss": float(np.mean(losses))}
+        if split == "valid":
+            results[f"{prefix}/n20"] = get_ndcg(prediction, gt_sets, top=20)
+            results[f"{prefix}/r20"] = get_recall(prediction, gt_sets, top=20)
+        else:
+            for k in (10, 20):
+                results[f"{prefix}/n{k}"] = get_ndcg(prediction, gt_sets, top=k)
+                results[f"{prefix}/r{k}"] = get_recall(prediction, gt_sets, top=k)
+        return results
+
+
+# ----------------------------------------------------------------------
+# 7-function workload contract
+# ----------------------------------------------------------------------
+
+def check_args(args: TrainArgs) -> None:
+    if args.early_criterion not in ("loss", "n20", "r20"):
+        raise ValueError(f"invalid early_criterion {args.early_criterion}")
+    if args.model_name not in ("MLP", "GMF", "NeuMF-end", "NeuMF-pre"):
+        raise ValueError(f"invalid model_name {args.model_name}")
+    if args.model_name == "NeuMF-pre":
+        if not (args.extra.get("gmf_run_id") and args.extra.get("mlp_run_id")):
+            raise ValueError("NeuMF-pre requires --gmf-run-id and --mlp-run-id")
+    if args.extra.get("item_init_emb_path"):
+        if args.model_name not in ("NeuMF-end", "MLP"):
+            raise ValueError(
+                "item_init_emb_path requires model_name NeuMF-end or MLP"
+            )
+
+
+def init_run(args: TrainArgs) -> None:
+    np.random.seed(args.seed)
+
+
+def init_dataloader(args: TrainArgs, ctx: Dict[str, Any]) -> None:
+    artifacts = ctx.get("artifacts") or load_artifacts(
+        args.data_dir, args.dataset_name
+    )
+    ctx["artifacts"] = artifacts
+    train_pairs, valid_pairs = train_valid_split(
+        artifacts.train_pairs, args.valid_size, args.seed
+    )
+    nu, ni = artifacts.num_users, artifacts.num_items
+    ctx["train_data"] = InteractionData.build(train_pairs, nu, ni)
+    ctx["valid_data"] = InteractionData.build(valid_pairs, nu, ni)
+    ctx["test_data"] = InteractionData.build(artifacts.test_pairs, nu, ni)
+    logger.info(
+        "NCF data: %d train / %d valid / %d test pairs, %d users, %d items",
+        len(train_pairs),
+        len(valid_pairs),
+        len(artifacts.test_pairs),
+        nu,
+        ni,
+    )
+
+
+def init_model(args: TrainArgs, ctx: Dict[str, Any], trial=None) -> None:
+    ctx["task"] = NCFTask(
+        args,
+        ctx["artifacts"],
+        ctx["train_data"],
+        ctx["valid_data"],
+        ctx["test_data"],
+        trial,
+    )
+
+
+def train(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, float]:
+    return engine.fit(
+        ctx["task"],
+        num_epochs=args.num_epochs,
+        early=args.early,
+        early_criterion=args.early_criterion,
+        registry=registry,
+        run=run,
+        resume=args.run_id is not None,
+    )
+
+
+def test(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, float]:
+    task: NCFTask = ctx["task"]
+    run_id = args.run_id or (run.run_id if run is not None else None)
+    if run_id is not None and registry is not None:
+        try:
+            path = registry.get_ckpt_path(run_id, load_best=True)
+            payload = restore_checkpoint(path)
+            task.state = TrainState(
+                jax.tree.map(jnp.asarray, payload["state"]["params"]),
+                task.state.opt_state,
+            )
+        except FileNotFoundError:
+            pass
+    return task.evaluate(task.state, "test")
+
+
+def inference(args: TrainArgs, ctx: Dict[str, Any], registry, run):
+    raise NotImplementedError("NCF has no inference mode (reference parity)")

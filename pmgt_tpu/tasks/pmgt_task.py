@@ -1,0 +1,474 @@
+"""PMGT pretraining workload.
+
+Behavioral reference: pmgt/pmgt/trainer.py + datasets.py + models.py.
+
+TPU-native train step (everything under one jit):
+    targets [B] --MCN sample--> target/pair/masked sequences
+                --fused encoder pass--> GSR + NFR losses
+                --grad + AdamW update (optional lax.scan microbatching)
+
+The reference's DataLoader workers, per-sample encoder loop, and ragged
+``num_pairs`` stitching all disappear: the host only supplies shuffled node
+ids; the device does the rest.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Iterable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pmgt_tpu.core.config import PMGTConfig, SamplingConfig, TrainArgs
+from pmgt_tpu.core.mesh import batch_sharding, make_mesh, replicated
+from pmgt_tpu.data.artifacts import DatasetArtifacts, load_artifacts
+from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
+from pmgt_tpu.metrics.ranking import roc_auc, stable_sigmoid
+from pmgt_tpu.models.pmgt import PMGTForPreTraining, bce_with_logits
+from pmgt_tpu.sampling.pairs import make_pretrain_batch
+from pmgt_tpu.train import engine
+from pmgt_tpu.train.checkpoints import restore_checkpoint
+from pmgt_tpu.train.optim import make_optimizer
+from pmgt_tpu.train.registry import RunRegistry
+
+logger = logging.getLogger("pmgt_tpu")
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+
+
+class PMGTTask:
+    """Engine Task for PMGT pretraining."""
+
+    def __init__(
+        self,
+        args: TrainArgs,
+        artifacts: DatasetArtifacts,
+        train_nodes: np.ndarray,
+        valid_nodes: np.ndarray,
+        trial=None,
+    ):
+        self.args = args
+        self.artifacts = artifacts
+        self.train_nodes = np.asarray(train_nodes, np.int32)
+        self.valid_nodes = np.asarray(valid_nodes, np.int32)
+        self.trial = trial
+
+        self.mesh = make_mesh(args.num_devices)
+        n_dev = self.mesh.size
+        if args.train_batch_size % (n_dev * args.accumulation_step):
+            raise ValueError(
+                f"train_batch_size {args.train_batch_size} must be divisible "
+                f"by num_devices*accumulation ({n_dev}*{args.accumulation_step})"
+            )
+
+        feat_dims = tuple(int(e.shape[-1]) for e in artifacts.feat_init_embs)
+        self.config = PMGTConfig(
+            hidden_size=args.extra.get("hidden_size", 128),
+            feat_hidden_sizes=feat_dims,
+            intermediate_size=args.extra.get("intermediate_size", 128),
+            num_hidden_layers=args.extra.get("num_hidden_layers", 5),
+            num_attention_heads=args.extra.get("num_attention_heads", 1),
+            beta=args.extra.get("beta", 0.5),
+            attention_impl=args.extra.get("attention_impl", "xla"),
+            dtype="bfloat16" if args.mp_enabled else "float32",
+        )
+        self.sampling = SamplingConfig(
+            max_ctx_neigh=args.extra.get("max_ctx_neigh", 5),
+            hop_sampling_sizes=tuple(
+                args.extra.get("hop_sampling_sizes", (16, 8, 4))
+            ),
+            max_total_samples=args.extra.get("max_total_samples", 10),
+            min_neg_samples=args.extra.get("min_neg_samples", 5),
+        )
+        self.model = PMGTForPreTraining(
+            config=self.config,
+            node_size=artifacts.num_nodes,
+            random_node_ratio=args.extra.get("random_node_ratio", 0.02),
+            mask_node_ratio=args.extra.get("mask_node_ratio", 0.16),
+        )
+
+        # Device placement: graph + frozen feature tables replicated.
+        rep = replicated(self.mesh)
+        self.graph = PaddedGraph(
+            *(jax.device_put(np.asarray(a), rep) for a in artifacts.graph)
+        )
+        self.feat_tables = [
+            jax.device_put(np.asarray(t), rep) for t in artifacts.feat_init_embs
+        ]
+
+        # Parameters + optimizer.
+        init_rngs = {
+            "params": jax.random.key(args.seed),
+            "dropout": jax.random.key(args.seed + 1),
+            "corruption": jax.random.key(args.seed + 2),
+        }
+        # Shape-only dummy batch: parameter shapes don't depend on data.
+        s = self.sampling.seq_len
+        p = self.sampling.max_total_samples
+        from pmgt_tpu.sampling.pairs import PretrainBatch
+
+        dummy_batch = PretrainBatch(
+            target_ids=jnp.zeros((2, s), jnp.int32),
+            target_mask=jnp.ones((2, s), jnp.float32),
+            pair_ids=jnp.zeros((2, p, s), jnp.int32),
+            pair_mask=jnp.ones((2, p, s), jnp.float32),
+            labels=jnp.zeros((2, p), jnp.float32),
+            pair_valid=jnp.ones((2, p), jnp.float32),
+        )
+        variables = jax.jit(
+            partial(self.model.init, deterministic=False)
+        )(init_rngs, self.feat_tables, dummy_batch)
+        params = jax.device_put(variables["params"], rep)
+
+        steps_per_epoch = max(
+            len(self.train_nodes) // args.train_batch_size, 1
+        )
+        self.tx = make_optimizer(
+            params,
+            optim=args.optim,
+            lr=args.lr,
+            decay=args.decay,
+            scheduler_type=args.scheduler_type,
+            total_steps=steps_per_epoch * args.num_epochs,
+            warmup_ratio=args.scheduler_warmup,
+            gradient_max_norm=args.gradient_max_norm,
+        )
+        self.state = TrainState(params, jax.device_put(self.tx.init(params), rep))
+
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._train_step_fn = jax.jit(
+            partial(self._train_step_impl, accum=args.accumulation_step),
+            donate_argnums=(0,),
+        )
+        self._eval_step_fn = jax.jit(self._eval_step_impl)
+        self._encode_fn = jax.jit(self._encode_impl)
+        self._epoch_rng = np.random.default_rng(args.seed)
+        self._step_count = 0
+
+    # ------------------------------------------------------------------
+    # jitted step implementations
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, targets, key):
+        k_sample, k_drop, k_corr = jax.random.split(key, 3)
+        batch = make_pretrain_batch(
+            self.graph, targets, k_sample, self.sampling, True
+        )
+        out = self.model.apply(
+            {"params": params},
+            self.feat_tables,
+            batch,
+            deterministic=False,
+            rngs={"dropout": k_drop, "corruption": k_corr},
+        )
+        return out.loss, out
+
+    def _train_step_impl(self, state: TrainState, targets, key, accum: int):
+        if accum == 1:
+            (loss, out), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+                state.params, targets, key
+            )
+            metrics = {
+                "loss": loss,
+                "gsr": out.gsr_loss,
+                "nfr": out.nfr_loss,
+            }
+        else:
+            micro = targets.reshape(accum, -1)
+            keys = jax.random.split(key, accum)
+
+            def body(carry, xs):
+                t, k = xs
+                (loss, out), grads = jax.value_and_grad(
+                    self._loss_fn, has_aux=True
+                )(state.params, t, k)
+                acc_g, acc_l, acc_gsr, acc_nfr = carry
+                return (
+                    jax.tree.map(jnp.add, acc_g, grads),
+                    acc_l + loss,
+                    acc_gsr + out.gsr_loss,
+                    acc_nfr + out.nfr_loss,
+                ), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss, gsr, nfr), _ = jax.lax.scan(
+                body, (zeros, 0.0, 0.0, 0.0), (micro, keys)
+            )
+            inv = 1.0 / accum
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            metrics = {"loss": loss * inv, "gsr": gsr * inv, "nfr": nfr * inv}
+
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state), metrics
+
+    def _eval_step_impl(self, params, targets, sample_valid, key):
+        batch = make_pretrain_batch(
+            self.graph, targets, key, self.sampling, False
+        )
+        out = self.model.apply(
+            {"params": params},
+            self.feat_tables,
+            batch,
+            deterministic=True,
+            compute_nfr=False,
+        )
+        pair_valid = batch.pair_valid * sample_valid[:, None]
+        return out.logits, batch.labels, pair_valid
+
+    def _encode_impl(self, params, targets, key):
+        """CLS embeddings for a batch of nodes (inference export)."""
+        from pmgt_tpu.sampling.mcn import sample_context
+
+        node_ids, mask = sample_context(self.graph, targets, key, self.sampling)
+        hidden = self.model.apply(
+            {"params": params},
+            self.feat_tables,
+            node_ids,
+            mask,
+            deterministic=True,
+            method=PMGTForPreTraining.encode,
+        )
+        return hidden[:, 0]
+
+    # ------------------------------------------------------------------
+    # engine Task protocol
+    # ------------------------------------------------------------------
+    def on_epoch_start(self, epoch: int) -> None:
+        pass
+
+    def train_batches(self, epoch: int) -> Iterable[Tuple[jnp.ndarray, jax.Array]]:
+        bs = self.args.train_batch_size
+        ids = self.train_nodes.copy()
+        rng = np.random.default_rng(self.args.seed * 100_003 + epoch)
+        rng.shuffle(ids)
+        n_full = len(ids) // bs
+        for i in range(n_full):
+            chunk = ids[i * bs : (i + 1) * bs]
+            targets = jax.device_put(chunk, self._batch_sharding)
+            self._step_count += 1
+            key = jax.random.key(
+                np.uint32(self.args.seed * 7_919 + self._step_count)
+            )
+            yield targets, key
+
+    def train_step(self, state, batch):
+        targets, key = batch
+        return self._train_step_fn(state, targets, key)
+
+    def evaluate(self, state, split: str = "valid") -> Dict[str, float]:
+        params = state.params if isinstance(state, TrainState) else state
+        nodes = self.valid_nodes
+        bs = self.args.test_batch_size
+        n_dev = self.mesh.size
+        logits_all, labels_all, valid_all = [], [], []
+        for i in range(0, len(nodes), bs):
+            chunk = nodes[i : i + bs]
+            pad = (-len(chunk)) % max(bs, n_dev)
+            sample_valid = np.concatenate(
+                [np.ones(len(chunk), np.float32), np.zeros(pad, np.float32)]
+            )
+            padded = np.concatenate(
+                [chunk, np.full(pad, NUM_SPECIAL_NODES, np.int32)]
+            )
+            targets = jax.device_put(padded, self._batch_sharding)
+            sv = jax.device_put(sample_valid, self._batch_sharding)
+            key = jax.random.key(np.uint32(self.args.seed * 31 + i + 1))
+            logits, labels, pair_valid = self._eval_step_fn(
+                params, targets, sv, key
+            )
+            logits_all.append(np.asarray(logits))
+            labels_all.append(np.asarray(labels))
+            valid_all.append(np.asarray(pair_valid))
+
+        logits = np.concatenate(logits_all).ravel()
+        labels = np.concatenate(labels_all).ravel()
+        valid = np.concatenate(valid_all).ravel() > 0
+        logits, labels = logits[valid], labels[valid]
+
+        probs = stable_sigmoid(logits)
+        auc = roc_auc(labels, probs)
+        losses = np.maximum(logits, 0) - logits * labels + np.log1p(
+            np.exp(-np.abs(logits))
+        )
+        prefix = "val" if split == "valid" else "test"
+        return {f"{prefix}/auc": float(auc), f"{prefix}/loss": float(losses.mean())}
+
+    def should_prune(self, value: float, epoch: int) -> bool:
+        if self.trial is None:
+            return False
+        self.trial.report(value, epoch)
+        return bool(self.trial.should_prune())
+
+    # ------------------------------------------------------------------
+    def export_embeddings(self, params, batch_size: Optional[int] = None) -> np.ndarray:
+        """Per-node CLS embedding matrix over all real nodes in id order —
+        the reference's inference mode artifact
+        (pmgt/pmgt/trainer.py:259-275)."""
+        bs = batch_size or self.args.test_batch_size
+        n = self.artifacts.num_nodes
+        all_nodes = np.arange(
+            NUM_SPECIAL_NODES, n + NUM_SPECIAL_NODES, dtype=np.int32
+        )
+        outs = []
+        for i in range(0, n, bs):
+            chunk = all_nodes[i : i + bs]
+            pad = (-len(chunk)) % max(bs, self.mesh.size)
+            padded = np.concatenate(
+                [chunk, np.full(pad, NUM_SPECIAL_NODES, np.int32)]
+            )
+            targets = jax.device_put(padded, self._batch_sharding)
+            key = jax.random.key(np.uint32(self.args.seed * 13 + i + 7))
+            cls = np.asarray(self._encode_fn(params, targets, key))
+            outs.append(cls[: len(chunk)])
+        return np.concatenate(outs).astype(np.float32)
+
+
+# ----------------------------------------------------------------------
+# 7-function workload contract (reference train.py:317-339)
+# ----------------------------------------------------------------------
+
+def check_args(args: TrainArgs) -> None:
+    if args.early_criterion not in ("loss", "auc"):
+        raise ValueError(f"invalid early_criterion {args.early_criterion}")
+    if args.mode in ("eval", "inference") and args.run_id is None:
+        raise ValueError(f"mode {args.mode} requires --run-id")
+
+
+def init_run(args: TrainArgs) -> None:
+    np.random.seed(args.seed)
+
+
+def init_dataloader(args: TrainArgs, ctx: Dict[str, Any]) -> None:
+    if args.run_id is not None:
+        _restore_params_from_run(args)
+    artifacts = ctx.get("artifacts") or load_artifacts(
+        args.data_dir, args.dataset_name
+    )
+    ctx["artifacts"] = artifacts
+    from sklearn.model_selection import train_test_split
+
+    all_nodes = np.arange(
+        NUM_SPECIAL_NODES,
+        artifacts.num_nodes + NUM_SPECIAL_NODES,
+        dtype=np.int32,
+    )
+    train_nodes, valid_nodes = train_test_split(
+        all_nodes, test_size=args.valid_size, random_state=args.seed
+    )
+    ctx["train_nodes"] = train_nodes
+    ctx["valid_nodes"] = valid_nodes
+    logger.info(
+        "PMGT data: %d nodes (%d train / %d valid), graph max_deg %d",
+        artifacts.num_nodes,
+        len(train_nodes),
+        len(valid_nodes),
+        artifacts.graph.max_degree,
+    )
+
+
+def _restore_params_from_run(args: TrainArgs) -> None:
+    """Reload model/sampling hyperparameters from a previous run
+    (reference pmgt/pmgt/trainer.py:74-81,138-147)."""
+    registry = RunRegistry(args.log_dir)
+    params = registry.get_run(args.run_id).params
+    for name in (
+        "hidden_size",
+        "intermediate_size",
+        "num_hidden_layers",
+        "num_attention_heads",
+        "beta",
+        "random_node_ratio",
+        "mask_node_ratio",
+        "max_ctx_neigh",
+        "max_total_samples",
+        "min_neg_samples",
+        "hop_sampling_sizes",
+    ):
+        if name in params:
+            args.extra[name] = params[name]
+
+
+def init_model(args: TrainArgs, ctx: Dict[str, Any], trial=None) -> None:
+    ctx["task"] = PMGTTask(
+        args, ctx["artifacts"], ctx["train_nodes"], ctx["valid_nodes"], trial
+    )
+
+
+def _maybe_restore(args: TrainArgs, task: PMGTTask, load_best: bool) -> None:
+    if args.run_id is None:
+        return
+    registry = RunRegistry(args.log_dir)
+    try:
+        path = registry.get_ckpt_path(args.run_id, load_best=load_best)
+    except FileNotFoundError:
+        return
+    payload = restore_checkpoint(
+        os.path.join(path),
+        {"state": task.state, "meta": _meta_template()},
+    )
+    task.state = payload["state"]
+    logger.info("restored checkpoint from %s", path)
+
+
+def _meta_template():
+    return {
+        "epoch": 0,
+        "global_step": 0,
+        "patience": 0,
+        "best_value": 0.0,
+        "has_best": True,
+    }
+
+
+def train(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, float]:
+    task: PMGTTask = ctx["task"]
+    results = engine.fit(
+        task,
+        num_epochs=args.num_epochs,
+        early=args.early,
+        early_criterion=args.early_criterion,
+        registry=registry,
+        run=run,
+        resume=args.run_id is not None,
+    )
+    return results
+
+
+def test(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, float]:
+    """Evaluate the best checkpoint on the validation nodes (the reference
+    reuses valid as test for PMGT, pmgt/pmgt/trainer.py:71)."""
+    task: PMGTTask = ctx["task"]
+    run_id = args.run_id or (run.run_id if run is not None else None)
+    if run_id is not None and registry is not None:
+        try:
+            path = registry.get_ckpt_path(run_id, load_best=True)
+            payload = restore_checkpoint(
+                path, {"state": task.state, "meta": _meta_template()}
+            )
+            task.state = payload["state"]
+        except FileNotFoundError:
+            pass
+    metrics = task.evaluate(task.state, "test")
+    return metrics
+
+
+def inference(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> np.ndarray:
+    task: PMGTTask = ctx["task"]
+    _maybe_restore(args, task, load_best=True)
+    emb = task.export_embeddings(task.state.params)
+    if args.inference_result_path:
+        os.makedirs(
+            os.path.dirname(os.path.abspath(args.inference_result_path)),
+            exist_ok=True,
+        )
+        np.save(args.inference_result_path, emb)
+        logger.info("saved node embeddings to %s", args.inference_result_path)
+    return emb

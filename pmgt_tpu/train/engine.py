@@ -1,0 +1,202 @@
+"""Generic training engine: epoch loop, early stopping, best/last
+checkpointing, metric logging, resume.
+
+Replaces the reference's PyTorch Lightning Trainer + callback stack
+(base_trainer.py:266-409): EarlyStopping ↔ the patience loop here,
+ModelCheckpoint(top-1 + last) ↔ Orbax best/last, MLFlowLogger ↔
+RunRegistry, MLFlowExceptionCallback ↔ the FAILED status handler in the
+CLI driver.
+
+The engine is model-agnostic: a workload implements the small ``Task``
+protocol below and everything else (PMGT pretraining, NCF, DCN) reuses the
+same loop.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, Iterable, Optional, Protocol, Tuple
+
+import jax
+import numpy as np
+
+from pmgt_tpu.train.checkpoints import (
+    read_best_info,
+    restore_checkpoint,
+    save_checkpoint,
+    write_best_info,
+)
+from pmgt_tpu.train.registry import RunInfo, RunRegistry
+
+logger = logging.getLogger("pmgt_tpu")
+
+
+class Task(Protocol):
+    """Workload plug-in for the engine."""
+
+    state: Any  # pytree (params, opt_state, ...)
+
+    def train_batches(self, epoch: int) -> Iterable[Any]:
+        ...
+
+    def train_step(self, state: Any, batch: Any) -> Tuple[Any, Dict[str, Any]]:
+        ...
+
+    def evaluate(self, state: Any, split: str) -> Dict[str, float]:
+        ...
+
+    def on_epoch_start(self, epoch: int) -> None:
+        ...
+
+
+def _is_better(value: float, best: Optional[float], mode: str) -> bool:
+    if best is None or not np.isfinite(best):
+        return True
+    return value < best if mode == "min" else value > best
+
+
+def criterion_mode(criterion: str) -> str:
+    """loss-like criteria are minimized, everything else maximized
+    (reference base_trainer.py:283-287, hp_tuning.py:160)."""
+    return "min" if "loss" in criterion else "max"
+
+
+def fit(
+    task: Task,
+    *,
+    num_epochs: int,
+    early: int,
+    early_criterion: str,
+    registry: Optional[RunRegistry] = None,
+    run: Optional[RunInfo] = None,
+    log_every: int = 50,
+    resume: bool = False,
+) -> Dict[str, float]:
+    """Run the train/validate loop. Returns the final validation metrics
+    plus ``best`` (the best monitored value seen)."""
+    monitor = f"val/{early_criterion}"
+    mode = criterion_mode(early_criterion)
+
+    state = task.state
+    start_epoch = 0
+    best_value: Optional[float] = None
+    patience = 0
+    global_step = 0
+
+    ckpt_dir = run.ckpt_dir if run is not None else None
+
+    if resume and ckpt_dir is not None:
+        import os
+
+        last = os.path.join(ckpt_dir, "last")
+        if os.path.isdir(last):
+            payload = restore_checkpoint(
+                last,
+                {
+                    "state": state,
+                    "meta": {
+                        "epoch": 0,
+                        "global_step": 0,
+                        "patience": 0,
+                        "best_value": 0.0,
+                        "has_best": False,
+                    },
+                },
+            )
+            state = payload["state"]
+            meta = payload["meta"]
+            start_epoch = int(meta["epoch"]) + 1
+            global_step = int(meta["global_step"])
+            patience = int(meta["patience"])
+            best_value = float(meta["best_value"]) if meta["has_best"] else None
+            logger.info(
+                "resumed from %s at epoch %d (step %d)", last, start_epoch, global_step
+            )
+
+    val_metrics: Dict[str, float] = {}
+    for epoch in range(start_epoch, num_epochs):
+        task.on_epoch_start(epoch)
+        epoch_start = time.time()
+        train_losses = []
+        n_batches = 0
+        for batch in task.train_batches(epoch):
+            state, metrics = task.train_step(state, batch)
+            n_batches += 1
+            global_step += 1
+            if "loss" in metrics:
+                train_losses.append(metrics["loss"])
+            if log_every and n_batches % log_every == 0:
+                loss_val = float(jax.device_get(metrics.get("loss", np.nan)))
+                logger.info(
+                    "epoch %d step %d loss %.5f", epoch, global_step, loss_val
+                )
+
+        train_loss = (
+            float(np.mean([float(jax.device_get(x)) for x in train_losses[-100:]]))
+            if train_losses
+            else float("nan")
+        )
+
+        val_metrics = task.evaluate(state, "valid")
+        elapsed = time.time() - epoch_start
+        logged = {"loss/train": train_loss, **val_metrics, "epoch_time": elapsed}
+        if registry is not None and run is not None:
+            registry.log_metrics(run, logged, step=global_step, epoch=epoch)
+        logger.info(
+            "epoch %d done in %.1fs: train_loss %.5f %s",
+            epoch,
+            elapsed,
+            train_loss,
+            " ".join(f"{k} {v:.5f}" for k, v in val_metrics.items()),
+        )
+
+        if monitor not in val_metrics:
+            raise KeyError(
+                f"early criterion {monitor!r} not in metrics {sorted(val_metrics)}"
+            )
+        value = val_metrics[monitor]
+        improved = _is_better(value, best_value, mode)
+        if improved:
+            best_value = value
+            patience = 0
+        else:
+            patience += 1
+
+        task.state = state
+        if ckpt_dir is not None:
+            import os
+
+            payload = {
+                "state": state,
+                "meta": {
+                    "epoch": epoch,
+                    "global_step": global_step,
+                    "patience": patience,
+                    "best_value": float(best_value),
+                    "has_best": True,
+                },
+            }
+            save_checkpoint(os.path.join(ckpt_dir, "last"), payload)
+            if improved:
+                save_checkpoint(os.path.join(ckpt_dir, "best"), payload)
+                write_best_info(ckpt_dir, monitor, best_value, epoch)
+
+        if task_should_prune(task, value, epoch):
+            logger.info("trial pruned at epoch %d", epoch)
+            break
+
+        if early and patience >= early:
+            logger.info("early stopping at epoch %d (patience %d)", epoch, early)
+            break
+
+    results = dict(val_metrics)
+    results["best"] = float(best_value) if best_value is not None else float("nan")
+    return results
+
+
+def task_should_prune(task: Task, value: float, epoch: int) -> bool:
+    """Optuna-style pruning hook (reference base_trainer.py:186-191)."""
+    hook = getattr(task, "should_prune", None)
+    if hook is None:
+        return False
+    return bool(hook(value, epoch))

@@ -1,0 +1,144 @@
+"""Filesystem run registry — the TPU build's system of record.
+
+Replaces the reference's MLflow store (base_trainer.py:93-110,164-184):
+run ids are the only checkpoint identity mechanism there, and resuming
+re-reads hyperparameters from the store (e.g. pmgt/pmgt/trainer.py:74-81).
+This registry keeps the same contract with plain files:
+
+    <log_dir>/<experiment_name>/<run_id>/
+        params.json      resolved TrainArgs (hyperparameter restore source)
+        tags.json        user tags + host info
+        status           RUNNING | FINISHED | FAILED
+        metrics.jsonl    one {"step", "epoch", "name", "value"} per line
+        checkpoints/
+            best/        best checkpoint by the early-stopping monitor
+            best.json    {"monitor", "value", "epoch"}
+            last/        latest checkpoint
+        artifacts/       run scripts etc.
+"""
+from __future__ import annotations
+
+import json
+import os
+import platform
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+
+@dataclass
+class RunInfo:
+    run_id: str
+    experiment_name: str
+    run_dir: str
+
+    @property
+    def params(self) -> Dict[str, Any]:
+        with open(os.path.join(self.run_dir, "params.json"), encoding="utf-8") as f:
+            return json.load(f)
+
+    @property
+    def status(self) -> str:
+        path = os.path.join(self.run_dir, "status")
+        if not os.path.exists(path):
+            return "UNKNOWN"
+        with open(path, encoding="utf-8") as f:
+            return f.read().strip()
+
+    @property
+    def ckpt_dir(self) -> str:
+        return os.path.join(self.run_dir, "checkpoints")
+
+    def metrics(self) -> List[Dict[str, Any]]:
+        path = os.path.join(self.run_dir, "metrics.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path, encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+
+class RunRegistry:
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def create_run(
+        self,
+        experiment_name: str,
+        params: Dict[str, Any],
+        run_name: Optional[str] = None,
+        tags: Optional[Dict[str, Any]] = None,
+        run_script: Optional[str] = None,
+        run_id: Optional[str] = None,
+    ) -> RunInfo:
+        run_id = run_id or uuid.uuid4().hex
+        run_dir = os.path.join(self.log_dir, experiment_name, run_id)
+        os.makedirs(os.path.join(run_dir, "checkpoints"), exist_ok=True)
+        os.makedirs(os.path.join(run_dir, "artifacts"), exist_ok=True)
+
+        all_tags = {
+            "run_name": run_name,
+            "host": platform.node(),
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        all_tags.update(tags or {})
+
+        with open(os.path.join(run_dir, "params.json"), "w", encoding="utf-8") as f:
+            json.dump(params, f, indent=2, default=str)
+        with open(os.path.join(run_dir, "tags.json"), "w", encoding="utf-8") as f:
+            json.dump(all_tags, f, indent=2, default=str)
+        if run_script and os.path.exists(run_script):
+            shutil.copy(
+                run_script,
+                os.path.join(run_dir, "artifacts", os.path.basename(run_script)),
+            )
+        info = RunInfo(run_id, experiment_name, run_dir)
+        self.set_status(info, "RUNNING")
+        return info
+
+    def get_run(self, run_id: str) -> RunInfo:
+        """Find a run by id across experiments (reference get_run,
+        base_trainer.py:93-97)."""
+        if os.path.isdir(self.log_dir):
+            for exp in sorted(os.listdir(self.log_dir)):
+                run_dir = os.path.join(self.log_dir, exp, run_id)
+                if os.path.isdir(run_dir):
+                    return RunInfo(run_id, exp, run_dir)
+        raise FileNotFoundError(f"run {run_id} not found under {self.log_dir}")
+
+    def set_status(self, run: RunInfo, status: str) -> None:
+        with open(os.path.join(run.run_dir, "status"), "w", encoding="utf-8") as f:
+            f.write(status + "\n")
+
+    def log_metrics(
+        self, run: RunInfo, metrics: Dict[str, float], step: int, epoch: int
+    ) -> None:
+        with open(
+            os.path.join(run.run_dir, "metrics.jsonl"), "a", encoding="utf-8"
+        ) as f:
+            for name, value in metrics.items():
+                f.write(
+                    json.dumps(
+                        {
+                            "step": int(step),
+                            "epoch": int(epoch),
+                            "name": name,
+                            "value": float(value),
+                        }
+                    )
+                    + "\n"
+                )
+
+    def get_ckpt_path(self, run_id: str, load_best: bool = False) -> str:
+        """Resolve best/last checkpoint directory (reference get_ckpt_path,
+        base_trainer.py:99-110)."""
+        run = self.get_run(run_id)
+        name = "best" if load_best else "last"
+        path = os.path.join(run.ckpt_dir, name)
+        if not os.path.isdir(path):
+            if load_best:  # fall back to last, as the reference does
+                path = os.path.join(run.ckpt_dir, "last")
+            if not os.path.isdir(path):
+                raise FileNotFoundError(f"no checkpoint under {run.ckpt_dir}")
+        return path
