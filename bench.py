@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""PMGT pretraining throughput benchmark.
+
+Measures end-to-end training throughput (on-device MCN sampling + fused
+GSR/NFR train step + AdamW update) at the paper's model configuration
+(hidden 128, 5 layers, 1 head, hops [16,8,4], 10 pairs/target) on a
+TG-scale synthetic graph (~10.8k nodes, 1536/768-d frozen features).
+
+Prints ONE JSON line:
+    {"metric": "pmgt_pretrain_nodes_per_sec_per_chip", "value": N,
+     "unit": "nodes/sec/chip", "vs_baseline": R}
+
+``vs_baseline`` compares against a reference-equivalent PyTorch pipeline
+(host-side Python sampling + per-sample encoder loop, see
+pmgt_tpu/bench/torch_reference.py) measured once on this machine and
+cached in .bench_baseline.json. The reference publishes no throughput
+numbers (BASELINE.md), so a locally measured baseline is the only honest
+comparison available.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+
+# TG-scale benchmark workload (BASELINE.md: TG graph = 10,834 nodes).
+NUM_NODES = 10834
+FEAT_DIMS = (1536, 768)
+AVG_DEGREE = 16
+BATCH_SIZE = 512
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def build_workload(seed: int = 0):
+    from pmgt_tpu.data.synthetic import make_synthetic_dataset
+
+    return make_synthetic_dataset(
+        num_nodes=NUM_NODES,
+        num_users=100,
+        feat_dims=FEAT_DIMS,
+        interactions_per_user=2,
+        avg_degree=AVG_DEGREE,
+        seed=seed,
+    )
+
+
+def measure_tpu(art, batch_size: int, attention_impl: str = "xla") -> dict:
+    import jax
+
+    from pmgt_tpu.core.config import TrainArgs
+    from pmgt_tpu.tasks.pmgt_task import PMGTTask
+
+    args = TrainArgs(
+        model_name="PMGT",
+        dataset_name="bench",
+        seed=0,
+        num_epochs=1,
+        train_batch_size=batch_size,
+        test_batch_size=batch_size,
+        lr=1e-4,
+        mp_enabled=True,
+        gradient_max_norm=5.0,
+        extra=dict(
+            hidden_size=128,
+            intermediate_size=128,
+            num_hidden_layers=5,
+            num_attention_heads=1,
+            attention_impl=attention_impl,
+        ),
+    )
+    nodes = np.arange(2, art.num_nodes + 2, dtype=np.int32)
+    task = PMGTTask(args, art, nodes, nodes[: batch_size])
+
+    batches = list(zip(range(WARMUP_STEPS + MEASURE_STEPS), task.train_batches(0)))
+    state = task.state
+    # warmup (includes compile)
+    t0 = time.time()
+    for _, b in batches[:WARMUP_STEPS]:
+        state, metrics = task.train_step(state, b)
+    jax.block_until_ready(metrics["loss"])
+    compile_time = time.time() - t0
+
+    t0 = time.time()
+    for _, b in batches[WARMUP_STEPS:]:
+        state, metrics = task.train_step(state, b)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.time() - t0
+
+    n_steps = len(batches) - WARMUP_STEPS
+    nodes_per_sec = batch_size * n_steps / elapsed
+    return {
+        "nodes_per_sec": nodes_per_sec,
+        "steps_per_sec": n_steps / elapsed,
+        "compile_plus_warmup_s": compile_time,
+        "n_devices": task.mesh.size,
+        "loss": float(jax.device_get(metrics["loss"])),
+    }
+
+
+def measure_baseline(art) -> float:
+    """Reference-equivalent torch pipeline, cached across rounds."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE, encoding="utf-8") as f:
+            return json.load(f)["nodes_per_sec"]
+    from pmgt_tpu.bench.torch_reference import run_reference_baseline
+
+    nodes_per_sec = run_reference_baseline(
+        tuple(np.asarray(a) for a in art.graph),
+        [np.asarray(t) for t in art.feat_init_embs],
+        batch_size=32,
+        num_batches=3,
+    )
+    with open(BASELINE_CACHE, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "nodes_per_sec": nodes_per_sec,
+                "note": "reference-equivalent torch pipeline on host CPU",
+            },
+            f,
+        )
+    return nodes_per_sec
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=BATCH_SIZE)
+    parser.add_argument("--attention-impl", default=None,
+                        help="xla | pallas (default: pallas on TPU, xla elsewhere)")
+    parser.add_argument("--skip-baseline", action="store_true")
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    art = build_workload()
+
+    import jax
+
+    impl = args.attention_impl
+    if impl is None:
+        impl = "xla"
+
+    result = measure_tpu(art, args.batch_size, impl)
+    if args.verbose:
+        print("tpu:", result, file=sys.stderr)
+
+    if args.skip_baseline:
+        baseline = None
+    else:
+        try:
+            baseline = measure_baseline(art)
+            if args.verbose:
+                print("baseline nodes/sec:", baseline, file=sys.stderr)
+        except Exception as e:  # baseline failure must not kill the bench
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+            baseline = None
+
+    per_chip = result["nodes_per_sec"] / result["n_devices"]
+    vs = per_chip / baseline if baseline else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "pmgt_pretrain_nodes_per_sec_per_chip",
+                "value": round(per_chip, 2),
+                "unit": "nodes/sec/chip",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -2,12 +2,20 @@
 tests exercise real multi-device code paths without TPU hardware."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's axon sitecustomize force-registers the TPU platform and
+# overrides jax_platforms at interpreter start; undo it so tests run on the
+# virtual 8-device CPU mesh.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 import numpy as np
 import pytest
