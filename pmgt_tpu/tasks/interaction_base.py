@@ -63,6 +63,12 @@ class InteractionTaskBase:
         params = jax.device_put(params, self._replicated)
         m = len(self.train_data.pairs) * (1 + self.num_ng)
         steps_per_epoch = max(m // args.train_batch_size, 1)
+        freeze = (
+            self.frozen_param
+            if self.args.extra.get("freeze_item_init_emb")
+            and self.args.extra.get("item_init_emb_path")
+            else None
+        )
         self.tx = make_optimizer(
             params,
             optim=args.optim,
@@ -72,15 +78,10 @@ class InteractionTaskBase:
             total_steps=steps_per_epoch * args.num_epochs,
             warmup_ratio=args.scheduler_warmup,
             gradient_max_norm=args.gradient_max_norm,
+            frozen_names=(freeze,) if freeze else (),
         )
         self.state = TrainState(
             params, jax.device_put(self.tx.init(params), self._replicated)
-        )
-        freeze = (
-            self.frozen_param
-            if self.args.extra.get("freeze_item_init_emb")
-            and self.args.extra.get("item_init_emb_path")
-            else None
         )
         self._train_step_fn = jax.jit(
             partial(

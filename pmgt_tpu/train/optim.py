@@ -20,17 +20,25 @@ from typing import Optional
 import optax
 
 
-def no_decay_mask(params) -> object:
+def no_decay_mask(params, frozen_names=()) -> object:
     """True (apply weight decay) for every parameter except biases and
     LayerNorm scales — the reference's no-decay group is
-    ``["bias", "LayerNorm.weight"]`` (base_trainer.py:42)."""
+    ``["bias", "LayerNorm.weight"]`` (base_trainer.py:42).
+
+    ``frozen_names``: top-level module names excluded from decay as well
+    (frozen tables get zeroed grads in the train step; excluding them here
+    keeps AdamW's decoupled weight decay from moving them)."""
     import jax
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def decay_for_path(path) -> bool:
-        keys = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
-        name = str(keys[-1]) if keys else ""
+        keys = [
+            str(getattr(k, "key", getattr(k, "name", k))) for k in path
+        ]
+        if keys and keys[0] in frozen_names:
+            return False
+        name = keys[-1] if keys else ""
         if name == "bias":
             return False
         # flax LayerNorm scale parameters are named "scale".
@@ -88,6 +96,7 @@ def make_optimizer(
     total_steps: int = 1,
     warmup_ratio: Optional[float] = None,
     gradient_max_norm: Optional[float] = None,
+    frozen_names=(),
 ) -> optax.GradientTransformation:
     schedule = make_schedule(lr, scheduler_type, total_steps, warmup_ratio)
 
@@ -98,7 +107,7 @@ def make_optimizer(
             b2=0.999,
             eps=1e-8,
             weight_decay=decay,
-            mask=no_decay_mask(params),
+            mask=no_decay_mask(params, frozen_names),
         )
     elif optim == "sgd":
         base = optax.sgd(schedule)

@@ -1,0 +1,233 @@
+"""Data layer tests: interaction tables, negative sampling, eval candidate
+protocol, artifact formats (native + reference), preprocessing."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from pmgt_tpu.data.artifacts import (
+    DatasetArtifacts,
+    load_artifacts,
+    load_node_init_emb,
+    save_native,
+)
+from pmgt_tpu.data.interactions import (
+    InteractionData,
+    build_eval_candidates,
+    epoch_training_arrays,
+)
+from pmgt_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def inter():
+    pairs = np.array(
+        [[0, 1], [0, 2], [1, 0], [1, 3], [1, 4], [2, 2]], np.int32
+    )
+    return InteractionData.build(pairs, num_users=3, num_items=6)
+
+
+def test_build_padded_table(inter):
+    assert inter.user_pos.shape == (3, 3)
+    np.testing.assert_array_equal(inter.unique_users, [0, 1, 2])
+    np.testing.assert_array_equal(inter.user_pos_count, [2, 3, 1])
+    np.testing.assert_array_equal(inter.user_pos[0], [1, 2, 6])  # pad=num_items
+    np.testing.assert_array_equal(inter.user_pos[1], [0, 3, 4])
+
+
+def test_epoch_training_arrays_negatives_avoid_positives(inter):
+    users, items, labels = epoch_training_arrays(inter, 2, jax.random.key(0))
+    assert len(users) == 6 * 3  # 1 pos + 2 neg per pair
+    pos_set = {(int(u), int(i)) for u, i in inter.pairs}
+    for u, i, l in zip(users, items, labels):
+        if l == 0:
+            assert (int(u), int(i)) not in pos_set
+        else:
+            assert (int(u), int(i)) in pos_set
+
+
+def test_eval_candidates_protocol(inter):
+    users, cands, mask, labels = build_eval_candidates(
+        inter, num_ng=5, key=jax.random.key(1)
+    )
+    assert cands.shape == (3, 5)
+    for r in range(3):
+        c = int(inter.user_pos_count[r])
+        # positives first
+        np.testing.assert_array_equal(
+            cands[r, :c], inter.user_pos[r, :c]
+        )
+        np.testing.assert_array_equal(labels[r, :c], 1.0)
+        # negatives are not positives for this user
+        valid = int(mask[r].sum())
+        assert valid == max(5, c)
+        negs = cands[r, c:valid]
+        assert not (set(negs.tolist()) & set(inter.user_pos[r, :c].tolist()))
+
+
+def test_eval_candidates_more_positives_than_ng():
+    pairs = np.array([[0, i] for i in range(4)], np.int32)
+    data = InteractionData.build(pairs, num_users=1, num_items=10)
+    users, cands, mask, labels = build_eval_candidates(
+        data, num_ng=2, key=jax.random.key(0)
+    )
+    # valid count = max(num_ng, num_pos) = 4, no negatives added
+    assert int(mask[0].sum()) == 4
+    np.testing.assert_array_equal(labels[0, :4], 1.0)
+
+
+def test_native_roundtrip(tmp_path):
+    art = make_synthetic_dataset(num_nodes=30, num_users=20, seed=0)
+    save_native(str(tmp_path / "SYN"), art)
+    loaded = load_artifacts(str(tmp_path), "SYN")
+    assert loaded.num_nodes == 30
+    assert loaded.num_users == 20
+    np.testing.assert_array_equal(loaded.train_pairs, art.train_pairs)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.graph.nbr_ids), np.asarray(art.graph.nbr_ids)
+    )
+    assert len(loaded.feat_init_embs) == 2
+
+
+def test_reference_format_loading(tmp_path):
+    """Build artifacts in the reference's exact on-disk format (gpickle +
+    joblib LabelEncoders + json dataframes) and load them."""
+    import joblib
+    import networkx as nx
+    import pandas as pd
+    from sklearn.preprocessing import LabelEncoder
+
+    d = tmp_path / "REF"
+    os.makedirs(d)
+
+    items = [f"item{i}" for i in range(6)]
+    users = [f"user{i}" for i in range(4)]
+    g = nx.Graph()
+    g.add_weighted_edges_from(
+        [(items[0], items[1], 1.0), (items[1], items[2], 2.0), (items[3], items[4], 0.5)]
+    )
+    import pickle
+
+    graph_items = sorted(g.nodes())
+    with open(d / "graph.gpickle", "wb") as f:
+        pickle.dump(g, f)
+    joblib.dump(LabelEncoder().fit(graph_items), d / "node_encoder")
+    joblib.dump(LabelEncoder().fit(users), d / "user_encoder")
+    joblib.dump(LabelEncoder().fit(items), d / "item_encoder")
+
+    n = len(graph_items)
+    np.save(d / "visual_init_emb.npy", np.random.rand(n + 2, 8).astype(np.float32))
+    np.save(d / "textual_init_emb.npy", np.random.rand(n + 2, 4).astype(np.float32))
+
+    pd.DataFrame(
+        {"reviewerID": [users[0], users[1]], "asin": [items[0], items[2]]}
+    ).to_json(d / "train.json")
+    pd.DataFrame({"reviewerID": [users[2]], "asin": [items[1]]}).to_json(
+        d / "test.json"
+    )
+
+    art = load_artifacts(str(tmp_path), "REF")
+    assert art.num_nodes == n
+    assert art.num_users == 4
+    assert art.num_items == 6
+    assert art.train_pairs.shape == (2, 2)
+    assert len(art.feat_init_embs) == 2
+    # graph structure survived: the item1 node has 2 neighbors
+    row = graph_items.index(items[1]) + 2
+    assert art.graph.degrees[row] == 2
+
+
+def test_load_node_init_emb_remap():
+    item_classes = np.asarray(["a", "b", "c"])
+    node_classes = np.asarray(["b", "c"])  # "a" missing → random row
+    node_emb = np.asarray([[1.0, 0.0], [0.0, 2.0]], np.float32)
+    out = load_node_init_emb(
+        item_classes, node_classes, node_emb, normalize=True, seed=0
+    )
+    assert out.shape == (3, 2)
+    # b → node row 0, normalized
+    np.testing.assert_allclose(out[1], [1.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(out[2], [0.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+
+def test_preprocess_pipeline(tmp_path):
+    """reviews → graph/splits/embeddings with the notebook's weight formula."""
+    import gzip
+    import json
+
+    from pmgt_tpu.data.preprocess import run_preprocess
+
+    raw = tmp_path / "raw"
+    os.makedirs(raw)
+    rng = np.random.default_rng(0)
+    # 8 items, 12 users; pre-2015 co-reviews + post-2015 interactions
+    pre_ts = 1.3e9  # 2011
+    post_ts = 1.5e9  # 2017
+    reviews = []
+    for u in range(12):
+        for i in rng.choice(8, size=5, replace=False):
+            reviews.append(
+                {
+                    "reviewerID": f"u{u}",
+                    "asin": f"i{i}",
+                    "unixReviewTime": pre_ts + u,
+                }
+            )
+    for u in range(12):
+        for i in rng.choice(8, size=3, replace=False):
+            reviews.append(
+                {
+                    "reviewerID": f"u{u}",
+                    "asin": f"i{i}",
+                    "unixReviewTime": post_ts + u,
+                }
+            )
+    with gzip.open(raw / "reviews.json.gz", "wt") as f:
+        for r in reviews:
+            f.write(json.dumps(r) + "\n")
+
+    art = run_preprocess(
+        raw_dir=str(raw),
+        out_dir=str(tmp_path / "data"),
+        dataset_name="T",
+        min_common_users=2,
+        split_date="2015-01-01",
+        test_size=0.5,
+        seed=0,
+        visual_dim=6,
+        textual_dim=4,
+    )
+    assert art.num_nodes > 0
+    assert len(art.train_pairs) > 0
+    assert art.feat_init_embs[0].shape[1] == 6
+    # loadable through the standard path
+    loaded = load_artifacts(str(tmp_path / "data"), "T")
+    assert loaded.num_nodes == art.num_nodes
+
+
+def test_preprocess_weight_formula():
+    """Edge weights follow (log w + 1)/(log sqrt(deg_u deg_v) + 1)
+    (notebook cell 20)."""
+    from pmgt_tpu.data.preprocess import build_co_review_graph
+
+    # items A,B share 3 users; B,C share 4; A,C share 3 → triangle
+    reviews = []
+    for u in range(3):
+        reviews += [
+            {"reviewerID": f"u{u}", "asin": "A"},
+            {"reviewerID": f"u{u}", "asin": "B"},
+            {"reviewerID": f"u{u}", "asin": "C"},
+        ]
+    reviews.append({"reviewerID": "u9", "asin": "B"})
+    reviews.append({"reviewerID": "u9", "asin": "C"})
+    node_items, edges = build_co_review_graph(reviews, min_common_users=3)
+    assert sorted(node_items.tolist()) == ["A", "B", "C"]
+    w = {(min(u, v), max(u, v)): wt for u, v, wt in edges}
+    # all degrees are 2
+    expected_ab = (np.log(3) + 1) / (np.log(np.sqrt(2 * 2)) + 1)
+    expected_bc = (np.log(4) + 1) / (np.log(np.sqrt(2 * 2)) + 1)
+    a, b, c = (node_items.tolist().index(x) for x in "ABC")
+    assert w[(min(a, b), max(a, b))] == pytest.approx(expected_ab)
+    assert w[(min(b, c), max(b, c))] == pytest.approx(expected_bc)

@@ -1,0 +1,136 @@
+"""Engine tests with a lightweight fake task: early stopping, best/last
+checkpointing, resume, pruning."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmgt_tpu.train import engine
+from pmgt_tpu.train.checkpoints import (
+    read_best_info,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from pmgt_tpu.train.registry import RunRegistry
+
+
+class FakeTask:
+    """Validation metric follows a scripted sequence."""
+
+    def __init__(self, val_sequence, criterion="auc"):
+        self.state = {"w": jnp.zeros((2,)), "epoch_count": jnp.asarray(0)}
+        self.val_sequence = val_sequence
+        self.criterion = criterion
+        self.evals = 0
+
+    def on_epoch_start(self, epoch):
+        pass
+
+    def train_batches(self, epoch):
+        yield epoch
+
+    def train_step(self, state, batch):
+        state = dict(state)
+        state["epoch_count"] = state["epoch_count"] + 1
+        return state, {"loss": jnp.asarray(0.5)}
+
+    def evaluate(self, state, split):
+        v = self.val_sequence[min(self.evals, len(self.val_sequence) - 1)]
+        self.evals += 1
+        metrics = {f"val/{self.criterion}": v}
+        metrics.setdefault("val/loss", 1.0 - v)
+        return metrics
+
+
+def test_early_stopping_patience():
+    task = FakeTask([0.5, 0.6, 0.55, 0.54, 0.53])
+    res = engine.fit(
+        task, num_epochs=10, early=2, early_criterion="auc", log_every=0
+    )
+    # best at epoch 1 (0.6); patience 2 → stops after epoch 3
+    assert task.evals == 4
+    assert res["best"] == pytest.approx(0.6)
+
+
+def test_loss_criterion_minimizes():
+    task = FakeTask([0.4, 0.3, 0.35, 0.36], criterion="loss")
+    res = engine.fit(
+        task, num_epochs=4, early=2, early_criterion="loss", log_every=0
+    )
+    assert res["best"] == pytest.approx(0.3)
+
+
+def test_checkpointing_and_resume(tmp_path):
+    registry = RunRegistry(str(tmp_path / "logs"))
+    run = registry.create_run("exp", {"p": 1})
+
+    task = FakeTask([0.5, 0.8, 0.6])
+    engine.fit(
+        task,
+        num_epochs=3,
+        early=5,
+        early_criterion="auc",
+        registry=registry,
+        run=run,
+        log_every=0,
+    )
+    best = read_best_info(run.ckpt_dir)
+    assert best["value"] == pytest.approx(0.8)
+    assert best["epoch"] == 1
+    assert os.path.isdir(os.path.join(run.ckpt_dir, "best"))
+    assert os.path.isdir(os.path.join(run.ckpt_dir, "last"))
+
+    # last checkpoint carries 3 completed epochs
+    payload = restore_checkpoint(os.path.join(run.ckpt_dir, "last"))
+    assert int(payload["meta"]["epoch"]) == 2
+    assert int(payload["state"]["epoch_count"]) == 3
+
+    # resume continues from epoch 3
+    task2 = FakeTask([0.9])
+    task2.state = payload["state"]
+    engine.fit(
+        task2,
+        num_epochs=5,
+        early=5,
+        early_criterion="auc",
+        registry=registry,
+        run=run,
+        resume=True,
+        log_every=0,
+    )
+    payload2 = restore_checkpoint(os.path.join(run.ckpt_dir, "last"))
+    assert int(payload2["meta"]["epoch"]) == 4
+    # metrics got logged
+    names = {m["name"] for m in run.metrics()}
+    assert "val/auc" in names and "loss/train" in names
+
+
+def test_pruning_hook():
+    class PrunableTask(FakeTask):
+        def should_prune(self, value, epoch):
+            return epoch >= 1
+
+    task = PrunableTask([0.5, 0.6, 0.7])
+    engine.fit(task, num_epochs=10, early=5, early_criterion="auc", log_every=0)
+    assert task.evals == 2  # stopped after epoch 1
+
+
+def test_registry_run_lookup(tmp_path):
+    reg = RunRegistry(str(tmp_path))
+    run = reg.create_run("expA", {"x": 1}, run_name="r", tags={"t": "v"})
+    found = reg.get_run(run.run_id)
+    assert found.run_dir == run.run_dir
+    assert found.params == {"x": 1}
+    reg.set_status(run, "FINISHED")
+    assert found.status == "FINISHED"
+    with pytest.raises(FileNotFoundError):
+        reg.get_run("nonexistent")
+
+
+def test_save_checkpoint_overwrites(tmp_path):
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, {"a": jnp.asarray([1.0, 2.0])})
+    save_checkpoint(p, {"a": jnp.asarray([3.0, 4.0])})
+    out = restore_checkpoint(p)
+    np.testing.assert_allclose(np.asarray(out["a"]), [3.0, 4.0])

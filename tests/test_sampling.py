@@ -1,0 +1,159 @@
+"""MCN sampling and pair sampling: structural invariants and
+distributional parity with the reference semantics
+(pmgt/pmgt/datasets.py:14-53, 167-180)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmgt_tpu.core.config import SamplingConfig
+from pmgt_tpu.graph.container import from_edges
+from pmgt_tpu.sampling.mcn import sample_context
+from pmgt_tpu.sampling.pairs import make_pretrain_batch, sample_pairs
+
+CFG = SamplingConfig(hop_sampling_sizes=(4, 3, 2))
+
+
+def test_context_shape_and_target_first(small_graph):
+    targets = jnp.arange(2, 10, dtype=jnp.int32)
+    ids, mask = jax.jit(
+        lambda t, k: sample_context(small_graph, t, k, CFG)
+    )(targets, jax.random.key(0))
+    assert ids.shape == (8, 6)
+    assert mask.shape == (8, 6)
+    np.testing.assert_array_equal(np.asarray(ids[:, 0]), np.arange(2, 10))
+    np.testing.assert_array_equal(np.asarray(mask[:, 0]), 1.0)
+
+
+def test_context_excludes_target_and_specials(small_graph):
+    targets = jnp.arange(2, 30, dtype=jnp.int32)
+    ids, mask = sample_context(small_graph, targets, jax.random.key(1), CFG)
+    ids = np.asarray(ids)
+    mask = np.asarray(mask)
+    for b in range(ids.shape[0]):
+        ctx = ids[b, 1:][mask[b, 1:] > 0]
+        assert ids[b, 0] not in ctx
+        assert (ctx >= 2).all()
+    # padding slots are id 0
+    assert (ids[:, 1:][mask[:, 1:] == 0] == 0).all()
+
+
+def test_context_mask_matches_scores():
+    # Star graph: node 0 connected to 1 and 2 only, with a 2-node chain.
+    g = from_edges(4, [(0, 1, 1.0), (0, 2, 1.0), (2, 3, 1.0)])
+    targets = jnp.asarray([2], dtype=jnp.int32)  # node 0
+    ids, mask = sample_context(g, targets, jax.random.key(0), CFG)
+    # Reachable context from node 0: nodes 1, 2, 3 at most → ≤3 context
+    assert np.asarray(mask)[0].sum() <= 4
+
+
+def test_isolated_target_context():
+    g = from_edges(3, [(0, 1, 1.0)])  # node 2 isolated
+    ids, mask = sample_context(
+        g, jnp.asarray([4], jnp.int32), jax.random.key(0), CFG
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mask)[0], [1.0, 0, 0, 0, 0, 0]
+    )
+
+
+def test_hop1_distribution_matches_edge_softmax():
+    """With a single hop of many draws, neighbor visit frequencies must
+    follow softmax(edge weights) — the reference's sampling distribution
+    (datasets.py:27-32)."""
+    w = np.array([0.1, 1.0, 2.0])
+    g = from_edges(4, [(0, 1, w[0]), (0, 2, w[1]), (0, 3, w[2])])
+    cfg = SamplingConfig(hop_sampling_sizes=(2000,), max_ctx_neigh=3)
+    draws = []
+    ids, mask = sample_context(
+        g,
+        jnp.full((64,), 2, jnp.int32),
+        jax.random.key(42),
+        cfg,
+    )
+    # Instead of raw draws, check empirical hop-1 frequencies via many
+    # independent single-draw chains.
+    cfg1 = SamplingConfig(hop_sampling_sizes=(1,), max_ctx_neigh=1)
+    n = 6000
+    ids, _ = sample_context(
+        g, jnp.full((n,), 2, jnp.int32), jax.random.key(7), cfg1
+    )
+    ctx = np.asarray(ids[:, 1])
+    counts = np.array([(ctx == 3).sum(), (ctx == 4).sum(), (ctx == 5).sum()])
+    probs = counts / counts.sum()
+    expected = np.exp(w) / np.exp(w).sum()
+    np.testing.assert_allclose(probs, expected, atol=0.03)
+
+
+def test_pair_sampling_training_invariants(small_graph):
+    targets = jnp.arange(2, 34, dtype=jnp.int32)
+    nodes, labels, valid = sample_pairs(
+        small_graph, targets, jax.random.key(0), CFG, is_training=True
+    )
+    nodes, labels, valid = map(np.asarray, (nodes, labels, valid))
+    assert nodes.shape == (32, 10)
+    assert (valid == 1).all()  # training always fills all slots
+    deg = np.asarray(small_graph.degrees)
+    nbr = np.asarray(small_graph.nbr_ids)
+    for b, t in enumerate(range(2, 34)):
+        num_pos = min(5, deg[t])
+        # labels: pos slots first
+        np.testing.assert_array_equal(labels[b, :num_pos], 1.0)
+        np.testing.assert_array_equal(labels[b, num_pos:], 0.0)
+        nbr_set = set(nbr[t, : deg[t]].tolist())
+        pos = nodes[b, :num_pos]
+        assert set(pos.tolist()) <= nbr_set
+        assert len(set(pos.tolist())) == num_pos  # without replacement
+        negs = nodes[b, num_pos:]
+        assert not (set(negs.tolist()) & nbr_set)  # rejection worked
+        assert (negs >= 2).all()
+
+
+def test_pair_sampling_eval(small_graph):
+    targets = jnp.arange(2, 18, dtype=jnp.int32)
+    nodes, labels, valid = sample_pairs(
+        small_graph, targets, jax.random.key(3), CFG, is_training=False
+    )
+    assert nodes.shape == (16, 2)
+    np.testing.assert_array_equal(np.asarray(labels)[:, 0], 1.0)
+    np.testing.assert_array_equal(np.asarray(labels)[:, 1], 0.0)
+
+
+def test_make_pretrain_batch_shapes(small_graph):
+    batch = make_pretrain_batch(
+        small_graph,
+        jnp.arange(2, 10, dtype=jnp.int32),
+        jax.random.key(0),
+        CFG,
+        is_training=True,
+    )
+    assert batch.target_ids.shape == (8, 6)
+    assert batch.pair_ids.shape == (8, 10, 6)
+    assert batch.pair_mask.shape == (8, 10, 6)
+    assert batch.labels.shape == (8, 10)
+    # each pair sequence leads with its own pair node
+    pair_nodes = np.asarray(batch.pair_ids)[:, :, 0]
+    assert (pair_nodes >= 2).all()
+
+
+def test_sampling_is_deterministic_per_key(small_graph):
+    targets = jnp.arange(2, 10, dtype=jnp.int32)
+    a = sample_context(small_graph, targets, jax.random.key(5), CFG)
+    b = sample_context(small_graph, targets, jax.random.key(5), CFG)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    c = sample_context(small_graph, targets, jax.random.key(6), CFG)
+    assert not np.array_equal(np.asarray(a[0]), np.asarray(c[0]))
+
+
+def test_score_ordering_prefers_close_frequent_nodes():
+    """Direct neighbors sampled every hop must outrank distant nodes —
+    the freq × (depth - k + 1) scoring property (datasets.py:35-40)."""
+    # Path graph 0-1-2-3-4: context of node 0 should rank 1 first.
+    g = from_edges(5, [(i, i + 1, 1.0) for i in range(4)])
+    cfg = SamplingConfig(hop_sampling_sizes=(8, 4, 2), max_ctx_neigh=4)
+    ids, mask = sample_context(
+        g, jnp.full((32,), 2, jnp.int32), jax.random.key(0), cfg
+    )
+    first_ctx = np.asarray(ids)[:, 1]
+    # node 1 (row 3) must be the top-scored context nearly always
+    assert (first_ctx == 3).mean() > 0.9

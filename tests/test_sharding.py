@@ -1,0 +1,107 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh:
+1-device vs 8-device numerical parity of the sharded train step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmgt_tpu.core.config import TrainArgs
+from pmgt_tpu.core.mesh import make_mesh
+from pmgt_tpu.data.synthetic import make_synthetic_dataset
+from pmgt_tpu.tasks.pmgt_task import PMGTTask
+
+
+@pytest.fixture(scope="module")
+def art():
+    return make_synthetic_dataset(
+        num_nodes=40, num_users=20, feat_dims=(12, 8), avg_degree=6, seed=0
+    )
+
+
+def _make_task(art, num_devices):
+    args = TrainArgs(
+        model_name="PMGT",
+        dataset_name="syn",
+        seed=0,
+        num_epochs=1,
+        train_batch_size=16,
+        test_batch_size=16,
+        lr=1e-2,
+        num_devices=num_devices,
+        extra=dict(
+            hidden_size=8,
+            intermediate_size=8,
+            num_hidden_layers=1,
+            hop_sampling_sizes=(3, 2),
+            max_ctx_neigh=3,
+        ),
+    )
+    nodes = np.arange(2, 42, dtype=np.int32)
+    return PMGTTask(args, art, nodes[:32], nodes[32:])
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+    assert jax.default_backend() == "cpu"
+
+
+def test_mesh_construction():
+    mesh = make_mesh(8)
+    assert mesh.size == 8
+    mesh1 = make_mesh(1)
+    assert mesh1.size == 1
+    with pytest.raises(ValueError):
+        make_mesh(99)
+
+
+def test_single_vs_multi_device_parity(art):
+    """The same seeds must give numerically matching losses whether the
+    batch is sharded over 1 or 8 devices."""
+    task1 = _make_task(art, 1)
+    task8 = _make_task(art, 8)
+
+    losses1, losses8 = [], []
+    state1, state8 = task1.state, task8.state
+    for task, losses, state_ref in (
+        (task1, losses1, "s1"),
+        (task8, losses8, "s8"),
+    ):
+        state = task.state
+        for batch in task.train_batches(0):
+            state, metrics = task.train_step(state, batch)
+            losses.append(float(jax.device_get(metrics["loss"])))
+        task.state = state
+
+    np.testing.assert_allclose(losses1, losses8, rtol=2e-4)
+
+    # parameters after the epoch also match
+    p1 = jax.tree.leaves(task1.state.params)
+    p8 = jax.tree.leaves(task8.state.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
+        )
+
+
+def test_batch_is_actually_sharded(art):
+    task = _make_task(art, 8)
+    batch = next(iter(task.train_batches(0)))
+    targets, _ = batch
+    sharding = targets.sharding
+    # the leading axis must be split over the data axis
+    assert sharding.spec[0] == "data"
+    assert len(sharding.mesh.devices.ravel()) == 8
+
+
+def test_evaluate_multi_device(art):
+    task = _make_task(art, 8)
+    metrics = task.evaluate(task.state, "valid")
+    assert "val/auc" in metrics
+    assert 0.0 <= metrics["val/auc"] <= 1.0
+
+
+def test_export_embeddings_multi_device(art):
+    task = _make_task(art, 8)
+    emb = task.export_embeddings(task.state.params)
+    assert emb.shape == (40, 8)
+    assert np.isfinite(emb).all()
