@@ -29,11 +29,20 @@ NUM_SPECIAL_NODES = 2  # 0 = <pad>, 1 = <mask>
 
 
 class PaddedGraph(NamedTuple):
-    """Fixed-shape graph arrays (a pytree; members may be numpy or jnp)."""
+    """Fixed-shape graph arrays (a pytree; members may be numpy or jnp).
+
+    ``alias_prob``/``alias_idx`` are Walker alias tables for O(1) weighted
+    neighbor draws: sample slot j uniformly in [0, degree), accept slot j
+    with probability ``alias_prob[n, j]``, else take slot ``alias_idx[n, j]``.
+    This removes the max-degree factor from the sampling hot path (the
+    categorical-over-padded-logits alternative gathers whole neighbor rows
+    per draw)."""
 
     nbr_ids: np.ndarray  # [N+2, max_deg] int32
     nbr_logits: np.ndarray  # [N+2, max_deg] float32 (-inf padding)
     degrees: np.ndarray  # [N+2] int32
+    alias_prob: np.ndarray  # [N+2, max_deg] float32
+    alias_idx: np.ndarray  # [N+2, max_deg] int32
 
     @property
     def num_nodes(self) -> int:
@@ -55,15 +64,26 @@ class PaddedGraph(NamedTuple):
             nbr_ids=np.asarray(self.nbr_ids),
             nbr_logits=np.asarray(self.nbr_logits),
             degrees=np.asarray(self.degrees),
+            alias_prob=np.asarray(self.alias_prob),
+            alias_idx=np.asarray(self.alias_idx),
         )
 
     @classmethod
     def load(cls, path: str) -> "PaddedGraph":
         with np.load(path) as data:
+            if "alias_prob" in data:
+                alias_prob = data["alias_prob"]
+                alias_idx = data["alias_idx"]
+            else:  # older files: rebuild alias tables from logits
+                alias_prob, alias_idx = _build_alias_tables(
+                    data["nbr_logits"], data["degrees"]
+                )
             return cls(
                 nbr_ids=data["nbr_ids"],
                 nbr_logits=data["nbr_logits"],
                 degrees=data["degrees"],
+                alias_prob=alias_prob,
+                alias_idx=alias_idx,
             )
 
 
@@ -123,7 +143,51 @@ def from_edges(
     nbr_logits[0, 0] = 0.0
     nbr_logits[1, 0] = 0.0
 
-    return PaddedGraph(nbr_ids=nbr_ids, nbr_logits=nbr_logits, degrees=degrees)
+    alias_prob, alias_idx = _build_alias_tables(nbr_logits, degrees)
+    return PaddedGraph(
+        nbr_ids=nbr_ids,
+        nbr_logits=nbr_logits,
+        degrees=degrees,
+        alias_prob=alias_prob,
+        alias_idx=alias_idx,
+    )
+
+
+def _build_alias_tables(
+    nbr_logits: np.ndarray, degrees: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vose's alias method per node over softmax(edge weights) — the same
+    distribution the reference samples from (reference datasets.py:27-32).
+    O(E) preprocessing."""
+    n, d = nbr_logits.shape
+    alias_prob = np.ones((n, d), dtype=np.float32)
+    alias_idx = np.zeros((n, d), dtype=np.int32)
+    for row in range(n):
+        deg = int(degrees[row])
+        if deg <= 1:
+            continue
+        w = nbr_logits[row, :deg].astype(np.float64)
+        p = np.exp(w - w.max())
+        p /= p.sum()
+        scaled = p * deg
+        small = [j for j in range(deg) if scaled[j] < 1.0]
+        large = [j for j in range(deg) if scaled[j] >= 1.0]
+        prob = np.ones(deg)
+        idx = np.zeros(deg, dtype=np.int32)
+        while small and large:
+            s = small.pop()
+            l = large.pop()
+            prob[s] = scaled[s]
+            idx[s] = l
+            scaled[l] = scaled[l] - (1.0 - scaled[s])
+            (small if scaled[l] < 1.0 else large).append(l)
+        for j in large:
+            prob[j] = 1.0
+        for j in small:  # numerical leftovers
+            prob[j] = 1.0
+        alias_prob[row, :deg] = prob
+        alias_idx[row, :deg] = idx
+    return alias_prob, alias_idx
 
 
 def from_networkx(graph, max_degree: Optional[int] = None) -> PaddedGraph:

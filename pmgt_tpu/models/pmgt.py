@@ -45,63 +45,94 @@ class PMGTEmbeddings(nn.Module):
     Per-modality linear projection to hidden size, softmax attention over
     modalities, plus learned absolute-position embeddings and role
     embeddings (role 0 = target node, role 1 = context node).
+
+    TPU optimization: ``project`` applies the per-modality projections to
+    the **whole frozen feature table** as one MXU matmul; callers then
+    gather compact [N+2, H] rows instead of [.., 1536/768] raw features —
+    ~17x less gather bandwidth on the training hot path. ``__call__`` with
+    ``projected=True`` consumes such pre-projected inputs. The math is
+    identical (gather and linear projection commute).
     """
 
     config: PMGTConfig
 
-    @nn.compact
-    def __call__(
-        self, feat_embeds: Sequence[Array], deterministic: bool = True
-    ) -> Array:
+    def setup(self):
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
-        seq_len = feat_embeds[0].shape[1]
-
-        projected = [
+        self.feat_linear = [
             nn.Dense(
                 cfg.hidden_size,
                 kernel_init=_normal_init(cfg.initializer_range),
                 dtype=dtype,
                 name=f"feat_linear_{i}",
-            )(x.astype(dtype))
-            for i, x in enumerate(feat_embeds)
+            )
+            for i in range(cfg.num_feats)
         ]
-        concat = jnp.concatenate(projected, axis=-1)
-        # Modality attention: tanh -> Dense(num_feats) -> softmax
-        # (reference modeling_pmgt.py:169-173).
-        scores = nn.Dense(
+        self.modality_attention = nn.Dense(
             cfg.num_feats,
             kernel_init=_normal_init(cfg.initializer_range),
             dtype=dtype,
             name="modality_attention",
-        )(jnp.tanh(concat))
-        scores = jax.nn.softmax(scores, axis=-1)
-        stacked = jnp.stack(projected, axis=2)  # [B, S, M, H]
-        fused = jnp.sum(scores[..., None] * stacked, axis=2)
-
-        position_emb = self.param(
+        )
+        self.position_embeddings = self.param(
             "position_embeddings",
             _normal_init(cfg.initializer_range),
             (cfg.max_position_embeddings, cfg.hidden_size),
         )
-        role_emb = self.param(
+        self.role_embeddings = self.param(
             "role_embeddings",
             _normal_init(cfg.initializer_range),
             (2, cfg.hidden_size),
         )
+        self.norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype)
+        self.drop = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def project(self, feat_tables: Sequence[Array]) -> List[Array]:
+        """Project full per-modality tables to hidden size: [N+2, F] →
+        [N+2, H] (one big MXU matmul per modality)."""
+        dtype = jnp.dtype(self.config.dtype)
+        return [
+            dense(jnp.asarray(t).astype(dtype))
+            for dense, t in zip(self.feat_linear, feat_tables)
+        ]
+
+    def __call__(
+        self,
+        feat_embeds: Sequence[Array],
+        deterministic: bool = True,
+        projected: bool = False,
+    ) -> Array:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        seq_len = feat_embeds[0].shape[1]
+
+        if projected:
+            proj = [x.astype(dtype) for x in feat_embeds]
+        else:
+            proj = [
+                dense(x.astype(dtype))
+                for dense, x in zip(self.feat_linear, feat_embeds)
+            ]
+        concat = jnp.concatenate(proj, axis=-1)
+        # Modality attention: tanh -> Dense(num_feats) -> softmax
+        # (reference modeling_pmgt.py:169-173).
+        scores = jax.nn.softmax(
+            self.modality_attention(jnp.tanh(concat)), axis=-1
+        )
+        stacked = jnp.stack(proj, axis=2)  # [B, S, M, H]
+        fused = jnp.sum(scores[..., None] * stacked, axis=2)
+
         # role 0 for the target (position 0), role 1 for every context slot
         # (reference modeling_pmgt.py:182-187).
-        pos = position_emb[:seq_len].astype(dtype)
+        pos = self.position_embeddings[:seq_len].astype(dtype)
         role_ids = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.ones((seq_len - 1,), jnp.int32)]
         )
-        role = role_emb[role_ids].astype(dtype)
+        role = self.role_embeddings[role_ids].astype(dtype)
 
         embeds = fused + pos[None, :, :] + role[None, :, :]
-        embeds = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype)(embeds)
-        embeds = nn.Dropout(cfg.hidden_dropout_prob)(
-            embeds, deterministic=deterministic
-        )
+        embeds = self.norm(embeds)
+        embeds = self.drop(embeds, deterministic=deterministic)
         return embeds
 
 
@@ -283,12 +314,32 @@ class PMGTModel(nn.Module):
     config: PMGTConfig
     add_pooling_layer: bool = False
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.embeddings = PMGTEmbeddings(cfg, name="embeddings")
+        self.layers = [
+            PMGTLayer(cfg, name=f"layer_{i}")
+            for i in range(cfg.num_hidden_layers)
+        ]
+        if self.add_pooling_layer:
+            self.pooler = nn.Dense(
+                cfg.hidden_size,
+                kernel_init=_normal_init(cfg.initializer_range),
+                dtype=jnp.dtype(cfg.dtype),
+                name="pooler",
+            )
+
+    def project_tables(self, feat_tables: Sequence[Array]) -> List[Array]:
+        """Pre-project full feature tables to hidden size (see
+        PMGTEmbeddings.project)."""
+        return self.embeddings.project(feat_tables)
+
     def __call__(
         self,
         feat_embeds: Sequence[Array],
         attention_mask: Optional[Array] = None,
         deterministic: bool = True,
+        projected: bool = False,
     ) -> Tuple[Array, Optional[Array]]:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
@@ -298,24 +349,13 @@ class PMGTModel(nn.Module):
             attention_mask = jnp.ones((b, s), dtype)
         additive = _additive_mask(attention_mask, dtype)[:, None, None, :]
 
-        hidden = PMGTEmbeddings(cfg, name="embeddings")(
-            feat_embeds, deterministic
-        )
-        for i in range(cfg.num_hidden_layers):
-            hidden = PMGTLayer(cfg, name=f"layer_{i}")(
-                hidden, additive, deterministic
-            )
+        hidden = self.embeddings(feat_embeds, deterministic, projected)
+        for layer in self.layers:
+            hidden = layer(hidden, additive, deterministic)
 
         pooled = None
         if self.add_pooling_layer:
-            pooled = jnp.tanh(
-                nn.Dense(
-                    cfg.hidden_size,
-                    kernel_init=_normal_init(cfg.initializer_range),
-                    dtype=dtype,
-                    name="pooler",
-                )(hidden[:, 0])
-            )
+            pooled = jnp.tanh(self.pooler(hidden[:, 0]))
         return hidden, pooled
 
 
@@ -405,9 +445,16 @@ class PMGTForPreTraining(nn.Module):
         attention_mask: Array,
         deterministic: bool = True,
     ) -> Array:
-        """Encoder pass over [B, S] node-id sequences → [B, S, H]."""
+        """Encoder pass over [B, S] node-id sequences → [B, S, H].
+
+        Projects the frozen tables to hidden size first and gathers the
+        compact projected rows — identical math to gather-then-project,
+        ~17x less HBM gather traffic at 1536/768-d features.
+        """
+        proj_tables = self.bert.project_tables(feat_tables)
+        feat_embeds = [t[node_ids] for t in proj_tables]
         hidden, _ = self.bert(
-            self._lookup(feat_tables, node_ids), attention_mask, deterministic
+            feat_embeds, attention_mask, deterministic, projected=True
         )
         return hidden
 

@@ -6,18 +6,22 @@ replacement (per-node softmax over edge weights), frequency scoring
 ``score[node] += freq * (depth - k + 1)``, then the top ``max_ctx_neigh``
 nodes by score become the context.
 
-This implementation reproduces the same *distribution* as one jitted,
-fully-batched function of a PRNG key:
+This file reproduces the same *distribution* as one jitted, fully-batched
+function of a PRNG key. Two implementations:
 
-- hop-wise draws are `jax.random.categorical` over padded neighbor-weight
-  logits (categorical applies softmax internally, matching the reference's
-  ``softmax(weights)`` probabilities, datasets.py:27-32);
-- frequency scoring is a dense scatter-add over a [B, N_total] buffer;
-- the context is `jax.lax.top_k` over scores (ties broken by node id
-  instead of the reference's dict insertion order — a distributional
-  equivalence, not a bit-exact RNG match).
+- ``sample_context`` (default, production): Walker **alias-table** draws
+  (O(1) per draw, no max-degree factor in the hot path) + **sort-based
+  segment scoring** — the ~656 draws per target are sorted by node id and
+  per-node scores come from segmented cumulative sums, so the working set
+  is [B, draws] instead of a dense [B, N] scatter buffer, and top-k runs
+  over 656 candidates instead of N.
+- ``sample_context_dense`` (reference implementation for cross-checking):
+  `jax.random.categorical` over padded weight logits + dense scatter-add
+  scoring + top-k over all N nodes.
 
-All shapes are static: [B] targets → [B, 1+K] context sequences.
+Both break score ties by smallest node id (the reference breaks them by
+dict insertion order — a distributional equivalence, not a bit-exact RNG
+match).
 """
 from __future__ import annotations
 
@@ -30,6 +34,35 @@ from pmgt_tpu.core.config import SamplingConfig
 from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
 
 
+def _alias_draw(
+    graph: PaddedGraph, frontier: jnp.ndarray, num: int, key: jax.Array
+) -> jnp.ndarray:
+    """Draw ``num`` weighted neighbors per frontier node via alias tables.
+
+    frontier: [B, F] node ids → returns [B, F * num] sampled node ids.
+    """
+    nbr_ids = jnp.asarray(graph.nbr_ids)
+    degrees = jnp.asarray(graph.degrees)
+    alias_prob = jnp.asarray(graph.alias_prob)
+    alias_idx = jnp.asarray(graph.alias_idx)
+
+    b, f = frontier.shape
+    k_slot, k_accept = jax.random.split(key)
+    u_slot = jax.random.uniform(k_slot, (b, f, num))
+    u_accept = jax.random.uniform(k_accept, (b, f, num))
+
+    deg = jnp.maximum(degrees[frontier], 1)[..., None]  # [B, F, 1]
+    slot = jnp.minimum((u_slot * deg).astype(jnp.int32), deg - 1)
+
+    # gather per (node, slot): advanced indexing broadcasts node over num
+    node_b = jnp.broadcast_to(frontier[..., None], slot.shape)
+    prob = alias_prob[node_b, slot]
+    alias = alias_idx[node_b, slot]
+    chosen_slot = jnp.where(u_accept < prob, slot, alias)
+    sampled = nbr_ids[node_b, chosen_slot]
+    return sampled.reshape(b, f * num)
+
+
 def sample_context(
     graph: PaddedGraph,
     targets: jnp.ndarray,
@@ -39,17 +72,100 @@ def sample_context(
     """Sample contextual neighborhoods for a batch of target nodes.
 
     Args:
-        graph: PaddedGraph with jnp (device) arrays.
-        targets: [B] int32 node ids (id space: real nodes are >= 2).
+        graph: PaddedGraph with device arrays.
+        targets: [B] int32 node ids (real nodes are >= 2).
         key: PRNG key.
         cfg: sampling configuration.
 
     Returns:
         node_ids: [B, 1 + max_ctx_neigh] int32 — target followed by context
             nodes ordered by descending score, 0-padded.
-        attention_mask: [B, 1 + max_ctx_neigh] float32 — 1 for target and
-            real context nodes, 0 for padding.
+        attention_mask: [B, 1 + max_ctx_neigh] float32.
     """
+    batch = targets.shape[0]
+    depth = len(cfg.hop_sampling_sizes)
+
+    hop_keys = jax.random.split(key, depth)
+    frontier = targets[:, None]
+    all_ids = []
+    all_ws = []
+    for k, sample_size in enumerate(cfg.hop_sampling_sizes):
+        sampled = _alias_draw(graph, frontier, sample_size, hop_keys[k])
+        # score weight (depth - k) for 0-based k == reference's
+        # (depth - k + 1) with 1-based k (datasets.py:40).
+        all_ids.append(sampled)
+        all_ws.append(
+            jnp.full(sampled.shape, float(depth - k), jnp.float32)
+        )
+        frontier = sampled
+
+    ids = jnp.concatenate(all_ids, axis=1)  # [B, T]
+    ws = jnp.concatenate(all_ws, axis=1)  # [B, T]
+
+    # Exclude the target itself and special ids from scoring
+    # (datasets.py:38-39) by zeroing their weights.
+    ws = jnp.where(
+        (ids == targets[:, None]) | (ids < NUM_SPECIAL_NODES), 0.0, ws
+    )
+
+    # ---- segmented scoring over the sorted draw multiset ----
+    order = jnp.argsort(ids, axis=1)
+    sid = jnp.take_along_axis(ids, order, axis=1)
+    sw = jnp.take_along_axis(ws, order, axis=1)
+    csum = jnp.cumsum(sw, axis=1)
+    ecsum = csum - sw  # exclusive cumsum
+
+    first = jnp.concatenate(
+        [
+            jnp.ones((batch, 1), bool),
+            sid[:, 1:] != sid[:, :-1],
+        ],
+        axis=1,
+    )
+    last = jnp.concatenate(
+        [
+            sid[:, 1:] != sid[:, :-1],
+            jnp.ones((batch, 1), bool),
+        ],
+        axis=1,
+    )
+    # Segment-start exclusive cumsum propagated to every position:
+    # weights are >= 0 so csum is nondecreasing and a running max works.
+    start_ecsum = jax.lax.cummax(
+        jnp.where(first, ecsum, -jnp.inf), axis=1
+    )
+    seg_score = csum - start_ecsum  # valid at segment-end positions
+
+    neg_inf = jnp.float32(-jnp.inf)
+    scores = jnp.where(last & (seg_score > 0.0), seg_score, neg_inf)
+
+    top_vals, top_pos = jax.lax.top_k(scores, cfg.max_ctx_neigh)
+    valid = top_vals > 0.0
+    ctx_ids = jnp.where(
+        valid, jnp.take_along_axis(sid, top_pos, axis=1), 0
+    ).astype(jnp.int32)
+
+    node_ids = jnp.concatenate(
+        [targets[:, None].astype(jnp.int32), ctx_ids], axis=1
+    )
+    attention_mask = jnp.concatenate(
+        [jnp.ones((batch, 1), jnp.float32), valid.astype(jnp.float32)], axis=1
+    )
+    return node_ids, attention_mask
+
+
+# ----------------------------------------------------------------------
+# dense reference implementation (kept for cross-checking in tests)
+# ----------------------------------------------------------------------
+
+def sample_context_dense(
+    graph: PaddedGraph,
+    targets: jnp.ndarray,
+    key: jax.Array,
+    cfg: SamplingConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Categorical-over-logits draws + dense scatter scoring (original
+    formulation; O(B·N) memory)."""
     nbr_ids = jnp.asarray(graph.nbr_ids)
     nbr_logits = jnp.asarray(graph.nbr_logits)
     n_total = nbr_ids.shape[0]
@@ -57,33 +173,24 @@ def sample_context(
     depth = len(cfg.hop_sampling_sizes)
 
     scores = jnp.zeros((batch, n_total), dtype=jnp.float32)
-    frontier = targets[:, None]  # [B, 1]
+    frontier = targets[:, None]
 
     hop_keys = jax.random.split(key, depth)
     for k, sample_size in enumerate(cfg.hop_sampling_sizes):
-        # Gather neighbor tables for the current frontier: [B, F, D].
         f_logits = nbr_logits[frontier]
         f_ids = nbr_ids[frontier]
-        # sample_size draws per frontier node, with replacement.
         draws = jax.random.categorical(
             hop_keys[k],
             f_logits,
             axis=-1,
             shape=(sample_size,) + frontier.shape,
-        )  # [s, B, F]
-        draws = jnp.moveaxis(draws, 0, -1)  # [B, F, s]
-        sampled = jnp.take_along_axis(f_ids, draws, axis=-1)  # [B, F, s]
-        sampled = sampled.reshape(batch, -1)  # [B, F*s]
-
-        # score += freq * (depth - k); k is 0-based here, the reference's is
-        # 1-based with weight (depth - k + 1) — identical values.
-        hop_weight = jnp.float32(depth - k)
-        scores = _scatter_add_rows(scores, sampled, hop_weight)
-
+        )
+        draws = jnp.moveaxis(draws, 0, -1)
+        sampled = jnp.take_along_axis(f_ids, draws, axis=-1)
+        sampled = sampled.reshape(batch, -1)
+        scores = _scatter_add_rows(scores, sampled, jnp.float32(depth - k))
         frontier = sampled
 
-    # Exclude special ids (<pad>, <mask>) and the target itself
-    # (reference datasets.py:38-39).
     special = jnp.zeros((batch, NUM_SPECIAL_NODES), dtype=scores.dtype)
     scores = jax.lax.dynamic_update_slice(scores, special, (0, 0))
     scores = _scatter_set_rows(scores, targets[:, None], 0.0)
@@ -92,16 +199,16 @@ def sample_context(
     valid = top_vals > 0.0
     ctx_ids = jnp.where(valid, top_ids, 0).astype(jnp.int32)
 
-    node_ids = jnp.concatenate([targets[:, None].astype(jnp.int32), ctx_ids], axis=1)
+    node_ids = jnp.concatenate(
+        [targets[:, None].astype(jnp.int32), ctx_ids], axis=1
+    )
     attention_mask = jnp.concatenate(
         [jnp.ones((batch, 1), jnp.float32), valid.astype(jnp.float32)], axis=1
     )
     return node_ids, attention_mask
 
 
-def _scatter_add_rows(
-    buf: jnp.ndarray, col_ids: jnp.ndarray, value
-) -> jnp.ndarray:
+def _scatter_add_rows(buf, col_ids, value):
     """buf[b, col_ids[b, j]] += value for all b, j (duplicates accumulate)."""
     batch, n = buf.shape
     rows = jnp.broadcast_to(
@@ -113,9 +220,7 @@ def _scatter_add_rows(
     return flat.reshape(batch, n)
 
 
-def _scatter_set_rows(
-    buf: jnp.ndarray, col_ids: jnp.ndarray, value
-) -> jnp.ndarray:
+def _scatter_set_rows(buf, col_ids, value):
     """buf[b, col_ids[b, j]] = value for all b, j."""
     batch, n = buf.shape
     rows = jnp.broadcast_to(

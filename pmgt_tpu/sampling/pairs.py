@@ -143,7 +143,8 @@ def make_pretrain_batch(
 
     Collapses the reference's per-sample Python loop of encoder calls
     (reference pmgt/pmgt/models.py:104-127) into dense [B, P, S] tensors
-    consumed by a single batched encoder pass.
+    consumed by a single batched encoder pass. Samples a fresh context for
+    the target and every pair node — the reference's exact behavior.
     """
     batch = targets.shape[0]
     key_ctx, key_pairs, key_pair_ctx = jax.random.split(key, 3)
@@ -160,6 +161,61 @@ def make_pretrain_batch(
     pair_ids = pair_ids.reshape(batch, p, seq)
     pair_mask = pair_mask.reshape(batch, p, seq)
 
+    return PretrainBatch(
+        target_ids=target_ids,
+        target_mask=target_mask,
+        pair_ids=pair_ids,
+        pair_mask=pair_mask,
+        labels=labels,
+        pair_valid=pair_valid,
+    )
+
+
+def sample_all_contexts(
+    graph: PaddedGraph,
+    key: jax.Array,
+    cfg: SamplingConfig,
+    num_total: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample one context per node for ALL nodes → cache tables
+    [N_total, S] (rows 0/1 are the special ids, context-free).
+
+    Rationale: the reference draws a fresh context for every *occurrence*
+    of a node — once as the epoch's target plus ~10 pair appearances —
+    ~11x more sampling work than one context per node per epoch for the
+    same marginal distribution. Caching per epoch keeps each node's
+    context re-drawn exactly as often as the reference re-draws its
+    *target* context, and removes graph sampling from the train step's
+    critical path entirely.
+    """
+    all_nodes = jnp.arange(num_total, dtype=jnp.int32)
+    ids, mask = sample_context(graph, all_nodes, key, cfg)
+    # Special rows: context-free (target-only mask).
+    special = jnp.zeros((NUM_SPECIAL_NODES, ids.shape[1] - 1), jnp.int32)
+    ids = ids.at[:NUM_SPECIAL_NODES, 1:].set(special)
+    mask = mask.at[:NUM_SPECIAL_NODES, 1:].set(0.0)
+    return ids, mask
+
+
+def make_pretrain_batch_cached(
+    graph: PaddedGraph,
+    ctx_ids: jnp.ndarray,  # [N_total, S] cached context table
+    ctx_mask: jnp.ndarray,  # [N_total, S]
+    targets: jnp.ndarray,
+    key: jax.Array,
+    cfg: SamplingConfig,
+    is_training: bool = True,
+) -> PretrainBatch:
+    """Batch assembly from a per-epoch context cache: pure gathers plus
+    cheap pos/neg pair sampling — no hop sampling on the hot path."""
+    batch = targets.shape[0]
+    pair_nodes, labels, pair_valid = sample_pairs(
+        graph, targets, key, cfg, is_training
+    )
+    target_ids = ctx_ids[targets]
+    target_mask = ctx_mask[targets]
+    pair_ids = ctx_ids[pair_nodes]  # [B, P, S]
+    pair_mask = ctx_mask[pair_nodes]
     return PretrainBatch(
         target_ids=target_ids,
         target_mask=target_mask,

@@ -30,7 +30,11 @@ from pmgt_tpu.data.artifacts import DatasetArtifacts, load_artifacts
 from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
 from pmgt_tpu.metrics.ranking import roc_auc, stable_sigmoid
 from pmgt_tpu.models.pmgt import PMGTForPreTraining, bce_with_logits
-from pmgt_tpu.sampling.pairs import make_pretrain_batch
+from pmgt_tpu.sampling.pairs import (
+    make_pretrain_batch,
+    make_pretrain_batch_cached,
+    sample_all_contexts,
+)
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
 from pmgt_tpu.train.optim import make_optimizer
@@ -144,6 +148,16 @@ class PMGTTask:
         self.state = TrainState(params, jax.device_put(self.tx.init(params), rep))
 
         self._batch_sharding = batch_sharding(self.mesh)
+        # Per-epoch context cache (see sample_all_contexts). Default on:
+        # same marginal context distribution, ~11x less sampling work.
+        self.use_ctx_cache = bool(args.extra.get("ctx_cache", True))
+        self._ctx_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+        self._ctx_cache_tag: Optional[Tuple] = None
+        self._sample_all_fn = jax.jit(
+            lambda key: sample_all_contexts(
+                self.graph, key, self.sampling, self.graph.nbr_ids.shape[0]
+            )
+        )
         self._train_step_fn = jax.jit(
             partial(self._train_step_impl, accum=args.accumulation_step),
             donate_argnums=(0,),
@@ -156,11 +170,20 @@ class PMGTTask:
     # ------------------------------------------------------------------
     # jitted step implementations
     # ------------------------------------------------------------------
-    def _loss_fn(self, params, targets, key):
-        k_sample, k_drop, k_corr = jax.random.split(key, 3)
-        batch = make_pretrain_batch(
-            self.graph, targets, k_sample, self.sampling, True
+    def _build_batch(self, targets, key, ctx, is_training):
+        """ctx = (ctx_ids, ctx_mask) cache tables, or None for fresh
+        per-occurrence sampling (exact reference semantics)."""
+        if ctx is None:
+            return make_pretrain_batch(
+                self.graph, targets, key, self.sampling, is_training
+            )
+        return make_pretrain_batch_cached(
+            self.graph, ctx[0], ctx[1], targets, key, self.sampling, is_training
         )
+
+    def _loss_fn(self, params, targets, key, ctx):
+        k_sample, k_drop, k_corr = jax.random.split(key, 3)
+        batch = self._build_batch(targets, k_sample, ctx, True)
         out = self.model.apply(
             {"params": params},
             self.feat_tables,
@@ -170,10 +193,10 @@ class PMGTTask:
         )
         return out.loss, out
 
-    def _train_step_impl(self, state: TrainState, targets, key, accum: int):
+    def _train_step_impl(self, state: TrainState, targets, key, ctx, accum: int):
         if accum == 1:
             (loss, out), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-                state.params, targets, key
+                state.params, targets, key, ctx
             )
             metrics = {
                 "loss": loss,
@@ -188,7 +211,7 @@ class PMGTTask:
                 t, k = xs
                 (loss, out), grads = jax.value_and_grad(
                     self._loss_fn, has_aux=True
-                )(state.params, t, k)
+                )(state.params, t, k, ctx)
                 acc_g, acc_l, acc_gsr, acc_nfr = carry
                 return (
                     jax.tree.map(jnp.add, acc_g, grads),
@@ -209,10 +232,8 @@ class PMGTTask:
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state), metrics
 
-    def _eval_step_impl(self, params, targets, sample_valid, key):
-        batch = make_pretrain_batch(
-            self.graph, targets, key, self.sampling, False
-        )
+    def _eval_step_impl(self, params, targets, sample_valid, key, ctx):
+        batch = self._build_batch(targets, key, ctx, False)
         out = self.model.apply(
             {"params": params},
             self.feat_tables,
@@ -223,11 +244,16 @@ class PMGTTask:
         pair_valid = batch.pair_valid * sample_valid[:, None]
         return out.logits, batch.labels, pair_valid
 
-    def _encode_impl(self, params, targets, key):
+    def _encode_impl(self, params, targets, key, ctx):
         """CLS embeddings for a batch of nodes (inference export)."""
         from pmgt_tpu.sampling.mcn import sample_context
 
-        node_ids, mask = sample_context(self.graph, targets, key, self.sampling)
+        if ctx is None:
+            node_ids, mask = sample_context(
+                self.graph, targets, key, self.sampling
+            )
+        else:
+            node_ids, mask = ctx[0][targets], ctx[1][targets]
         hidden = self.model.apply(
             {"params": params},
             self.feat_tables,
@@ -238,11 +264,26 @@ class PMGTTask:
         )
         return hidden[:, 0]
 
+    def _get_ctx(self, tag) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Context cache for a given phase tag (epoch index, eval id...),
+        refreshed when the tag changes; None when caching is disabled."""
+        if not self.use_ctx_cache:
+            return None
+        if self._ctx_cache_tag != tag:
+            key = jax.random.key(
+                np.uint32(self.args.seed * 104_729 + abs(hash(tag)) % 1_000_003)
+            )
+            self._ctx_cache = self._sample_all_fn(key)
+            self._ctx_cache_tag = tag
+        return self._ctx_cache
+
     # ------------------------------------------------------------------
     # engine Task protocol
     # ------------------------------------------------------------------
     def on_epoch_start(self, epoch: int) -> None:
-        pass
+        # Refresh the per-epoch context cache (one fresh context per node
+        # per epoch — the reference's target-context refresh rate).
+        self._get_ctx(("train", epoch))
 
     def train_batches(self, epoch: int) -> Iterable[Tuple[jnp.ndarray, jax.Array]]:
         bs = self.args.train_batch_size
@@ -261,13 +302,19 @@ class PMGTTask:
 
     def train_step(self, state, batch):
         targets, key = batch
-        return self._train_step_fn(state, targets, key)
+        ctx = None
+        if self.use_ctx_cache:
+            if self._ctx_cache is None:
+                self._get_ctx(("train", 0))
+            ctx = self._ctx_cache
+        return self._train_step_fn(state, targets, key, ctx)
 
     def evaluate(self, state, split: str = "valid") -> Dict[str, float]:
         params = state.params if isinstance(state, TrainState) else state
         nodes = self.valid_nodes
         bs = self.args.test_batch_size
         n_dev = self.mesh.size
+        ctx = self._get_ctx((split, self._step_count))
         logits_all, labels_all, valid_all = [], [], []
         for i in range(0, len(nodes), bs):
             chunk = nodes[i : i + bs]
@@ -282,7 +329,7 @@ class PMGTTask:
             sv = jax.device_put(sample_valid, self._batch_sharding)
             key = jax.random.key(np.uint32(self.args.seed * 31 + i + 1))
             logits, labels, pair_valid = self._eval_step_fn(
-                params, targets, sv, key
+                params, targets, sv, key, ctx
             )
             logits_all.append(np.asarray(logits))
             labels_all.append(np.asarray(labels))
@@ -317,6 +364,7 @@ class PMGTTask:
         all_nodes = np.arange(
             NUM_SPECIAL_NODES, n + NUM_SPECIAL_NODES, dtype=np.int32
         )
+        ctx = self._get_ctx(("inference",))
         outs = []
         for i in range(0, n, bs):
             chunk = all_nodes[i : i + bs]
@@ -326,7 +374,7 @@ class PMGTTask:
             )
             targets = jax.device_put(padded, self._batch_sharding)
             key = jax.random.key(np.uint32(self.args.seed * 13 + i + 7))
-            cls = np.asarray(self._encode_fn(params, targets, key))
+            cls = np.asarray(self._encode_fn(params, targets, key, ctx))
             outs.append(cls[: len(chunk)])
         return np.concatenate(outs).astype(np.float32)
 
