@@ -227,7 +227,9 @@ def _load_space(path: str) -> Dict[str, Any]:
     "--storage-path", type=click.Path(), default="./outputs/hpo_storage.db"
 )
 @click.option(
-    "--train-name", type=click.Choice(["ncf", "dcn", "pmgt"]), default="ncf"
+    "--train-name",
+    type=click.Choice(["ncf", "dcn", "pmgt", "pmgt_ncf"]),
+    default="ncf",
 )
 @click.option("--enable-trial-pruning", is_flag=True, default=False)
 @log_elapsed_time

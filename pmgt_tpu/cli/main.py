@@ -104,6 +104,7 @@ _common_options = [
     click.option("--run-script", type=click.Path(exists=True), default=None),
     click.option("--num-devices", type=click.INT, default=None, help="TPU devices to use (default: all)"),
     click.option("--profile-dir", type=click.Path(), default=None, help="jax.profiler trace output dir"),
+    click.option("--swa-start", type=click.INT, default=None, help="enable Stochastic Weight Averaging from this epoch"),
 ]
 
 _COMMON_KEYS = {
@@ -237,10 +238,56 @@ def train_dcn(ctx: click.Context, **raw_args):
     default="xla",
     help="dual-attention kernel implementation",
 )
+@click.option(
+    "--position-embedding-type",
+    type=click.Choice(["absolute", "relative_key", "relative_key_query"]),
+    default="absolute",
+)
+@click.option(
+    "--gradient-checkpointing",
+    is_flag=True,
+    default=False,
+    help="rematerialize encoder layers in backward",
+)
+@click.option(
+    "--ctx-cache/--no-ctx-cache",
+    default=True,
+    help="per-epoch context cache (off = exact per-occurrence resampling)",
+)
 @click.pass_context
 def train_pmgt(ctx: click.Context, **raw_args):
     """Pre-train PMGT."""
     _dispatch(ctx, "pmgt", raw_args)
+
+
+# --------------------------------------------------------------------------
+# train-pmgt-ncf (end-to-end variant; the reference implements the model
+# but never wires a trainer — see tasks/pmgt_ncf_task.py)
+# --------------------------------------------------------------------------
+@cli.command(context_settings={"show_default": True})
+@add_options(_common_options)
+@click.option("--emb-dropout", type=click.FLOAT, default=0.0)
+@click.option("--dropout", type=click.FLOAT, default=0.0)
+@click.option("--factor-num", type=click.INT, default=32)
+@click.option("--num-layers", type=click.INT, default=3)
+@click.option("--num-ng", type=click.INT, default=1)
+@click.option("--max-sample-items", type=click.INT, default=1000)
+@click.option("--max-ctx-neigh", type=click.INT, default=5)
+@click.option(
+    "--hop-sampling-sizes", type=click.INT, multiple=True, default=[16, 8, 4]
+)
+@click.option("--hidden-size", type=click.INT, default=128)
+@click.option("--intermediate-size", type=click.INT, default=128)
+@click.option("--num-hidden-layers", type=click.INT, default=5)
+@click.option("--num-attention-heads", type=click.INT, default=1)
+@click.option("--beta", type=click.FLOAT, default=0.5)
+@click.option(
+    "--attention-impl", type=click.Choice(["xla", "pallas"]), default="xla"
+)
+@click.pass_context
+def train_pmgt_ncf(ctx: click.Context, **raw_args):
+    """Train PMGT_NCF (end-to-end PMGT item tower inside NCF)."""
+    _dispatch(ctx, "pmgt_ncf", raw_args)
 
 
 # --------------------------------------------------------------------------
@@ -254,12 +301,14 @@ def train_model(
     trial=None,
     enable_trial_pruning: bool = False,
 ):
-    assert train_name in ("ncf", "pmgt", "dcn")
+    assert train_name in ("ncf", "pmgt", "dcn", "pmgt_ncf")
 
     if train_name == "ncf":
         from pmgt_tpu.tasks import ncf_task as trainer
     elif train_name == "pmgt":
         from pmgt_tpu.tasks import pmgt_task as trainer
+    elif train_name == "pmgt_ncf":
+        from pmgt_tpu.tasks import pmgt_ncf_task as trainer
     else:
         from pmgt_tpu.tasks import dcn_task as trainer
 

@@ -39,14 +39,26 @@ class PMGTConfig:
     initializer_range: float = 0.02
     layer_norm_eps: float = 1e-12
     beta: float = 0.5  # diversity-promoting attention blend weight
+    # {"absolute", "relative_key", "relative_key_query"} — reference
+    # modeling_pmgt.py:400-410,466-501.
+    position_embedding_type: str = "absolute"
     attention_impl: str = "xla"  # {"xla", "pallas"}
     dtype: str = "float32"  # compute dtype: {"float32", "bfloat16"}
+    # Rematerialize each transformer layer in backward (the reference
+    # plumbs torch gradient checkpointing, modeling_pmgt.py:60-62,240-253).
+    gradient_checkpointing: bool = False
+    # Set after head pruning, when heads*head_dim < hidden_size (the
+    # reference's shrunken all_head_size, modeling_pmgt.py:352-355).
+    head_dim_override: Optional[int] = None
 
     def __post_init__(self):
         object.__setattr__(
             self, "feat_hidden_sizes", _freeze(self.feat_hidden_sizes)
         )
-        if self.hidden_size % self.num_attention_heads != 0:
+        if (
+            self.head_dim_override is None
+            and self.hidden_size % self.num_attention_heads != 0
+        ):
             raise ValueError(
                 f"hidden_size ({self.hidden_size}) must be a multiple of "
                 f"num_attention_heads ({self.num_attention_heads})"
@@ -54,7 +66,13 @@ class PMGTConfig:
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def all_head_size(self) -> int:
+        return self.num_attention_heads * self.head_dim
 
     @property
     def num_feats(self) -> int:

@@ -146,6 +146,7 @@ def dual_attention_xla(
     dropout_rate: float,
     deterministic: bool,
     dropout_rng: Optional[Array],
+    scores2_bias: Optional[Array] = None,
 ) -> Array:
     """Reference XLA implementation of the dual-attention core.
 
@@ -170,10 +171,13 @@ def dual_attention_xla(
         scores1 = scores1 + additive_mask
     probs1 = jax.nn.softmax(scores1, axis=-1)
 
-    # Standard scaled dot-product scores.
+    # Standard scaled dot-product scores (+ optional relative-position
+    # bias, which only affects this distribution, not the diversity one).
     scores2 = jnp.einsum("bhid,bhjd->bhij", query, key) / jnp.sqrt(
         jnp.asarray(d, dtype)
     )
+    if scores2_bias is not None:
+        scores2 = scores2 + scores2_bias
     if additive_mask is not None:
         scores2 = scores2 + additive_mask
     probs2 = jax.nn.softmax(scores2, axis=-1)
@@ -209,7 +213,7 @@ class PMGTSelfAttention(nn.Module):
 
         def proj(name):
             return nn.Dense(
-                cfg.hidden_size,
+                cfg.all_head_size,
                 kernel_init=_normal_init(cfg.initializer_range),
                 dtype=dtype,
                 name=name,
@@ -224,7 +228,32 @@ class PMGTSelfAttention(nn.Module):
         if not deterministic and cfg.attention_probs_dropout_prob > 0.0:
             dropout_rng = self.make_rng("dropout")
 
-        if cfg.attention_impl == "pallas":
+        # Relative-position score terms (reference modeling_pmgt.py:466-501):
+        # rel[i, j] = q_i . E_{i-j} (+ k_j . E_{i-j} for the "_query"
+        # variant). They bias only the standard qk distribution, never the
+        # diversity one. The reference adds them to the raw qk scores
+        # *before* the 1/sqrt(d) scaling (modeling_pmgt.py:489-503); our
+        # backends scale first, so pre-divide here.
+        scores2_bias = None
+        if cfg.position_embedding_type in ("relative_key", "relative_key_query"):
+            distance_emb = self.param(
+                "distance_embedding",
+                _normal_init(cfg.initializer_range),
+                (2 * cfg.max_position_embeddings - 1, d),
+            ).astype(dtype)
+            pos = jnp.arange(s)
+            distance = pos[:, None] - pos[None, :]
+            rel = distance_emb[distance + cfg.max_position_embeddings - 1]
+            rel_scores = jnp.einsum("bhld,lrd->bhlr", query, rel)
+            if cfg.position_embedding_type == "relative_key_query":
+                rel_scores = rel_scores + jnp.einsum(
+                    "bhrd,lrd->bhlr", key, rel
+                )
+            scores2_bias = rel_scores / jnp.sqrt(jnp.asarray(d, dtype))
+
+        # The Pallas kernel covers the absolute-position configuration;
+        # relative-position variants take the XLA path.
+        if cfg.attention_impl == "pallas" and scores2_bias is None:
             from pmgt_tpu.ops.dual_attention import dual_attention_pallas
 
             out = dual_attention_pallas(
@@ -249,8 +278,9 @@ class PMGTSelfAttention(nn.Module):
                 dropout_rate=cfg.attention_probs_dropout_prob,
                 deterministic=deterministic,
                 dropout_rng=dropout_rng,
+                scores2_bias=scores2_bias,
             )
-        return out.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
+        return out.transpose(0, 2, 1, 3).reshape(b, s, cfg.all_head_size)
 
 
 class PMGTLayer(nn.Module):
@@ -317,8 +347,17 @@ class PMGTModel(nn.Module):
     def setup(self):
         cfg = self.config
         self.embeddings = PMGTEmbeddings(cfg, name="embeddings")
+        # Optional per-layer rematerialization — the TPU equivalent of the
+        # reference's torch gradient checkpointing plumbing
+        # (modeling_pmgt.py:240-253). deterministic is static (arg 2).
+        # static_argnums counts self at position 0 for lifted methods.
+        layer_cls = (
+            nn.remat(PMGTLayer, static_argnums=(3,))
+            if cfg.gradient_checkpointing
+            else PMGTLayer
+        )
         self.layers = [
-            PMGTLayer(cfg, name=f"layer_{i}")
+            layer_cls(cfg, name=f"layer_{i}")
             for i in range(cfg.num_hidden_layers)
         ]
         if self.add_pooling_layer:
@@ -539,6 +578,7 @@ class PMGTForPreTraining(nn.Module):
         masked_ids = jnp.concatenate([target_ids[:, :1], ctx_masked], axis=1)
         return masked_ids, masked.astype(jnp.float32), ctx_replaced
 
+    # ------------------------------------------------------------------
     def _nfr_loss(
         self,
         feat_tables: Sequence[Array],

@@ -1,0 +1,101 @@
+"""PMGT_NCF: NCF whose item tower is a full PMGT encoder over sampled
+neighborhoods.
+
+Behavioral reference: pmgt/pmgt_ncf/models.py:15-105. The reference
+implements this variant but never wires a trainer for it (no
+pmgt_ncf/trainer.py; train.py:306 only dispatches ncf/pmgt/dcn) — here it
+is a first-class workload (tasks/pmgt_ncf_task.py).
+
+Frozen multimodal tables are inputs (like PMGTForPreTraining); the CLS
+state of the encoded item neighborhood is the MLP tower's item embedding
+(reference pmgt_ncf/models.py:86-89); NeuMF-end adds a GMF branch whose
+item table is indexed by the raw item id (node id - 2,
+pmgt_ncf/models.py:97).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pmgt_tpu.core.config import PMGTConfig
+from pmgt_tpu.models.pmgt import PMGTModel
+
+Array = jax.Array
+
+
+class PMGT_NCF(nn.Module):
+    user_num: int
+    item_num: int
+    config: PMGTConfig
+    factor_num: int = 32
+    num_layers: int = 3
+    emb_dropout: float = 0.0
+    dropout: float = 0.0
+    model: str = "MLP"  # {"MLP", "NeuMF-end"}
+
+    def setup(self):
+        assert self.model in ("MLP", "NeuMF-end"), self.model
+        fn, nl = self.factor_num, self.num_layers
+        emb_init = nn.initializers.normal(stddev=0.01)
+
+        self.bert = PMGTModel(self.config, name="bert")
+        self.mlp_user_embeddings = nn.Embed(
+            self.user_num, fn * (2 ** (nl - 1)), embedding_init=emb_init
+        )
+        # Tower widths fn * 2^(nl-i) -> half (reference
+        # pmgt_ncf/models.py:55-76); its input is
+        # [user fn*2^(nl-1) ; item hidden_size].
+        self.mlp_layers = [
+            nn.Dense(
+                (fn * (2 ** (nl - i))) // 2,
+                kernel_init=nn.initializers.xavier_uniform(),
+                name=f"mlp_{i}",
+            )
+            for i in range(nl)
+        ]
+        if self.model == "NeuMF-end":
+            self.gmf_user_embeddings = nn.Embed(
+                self.user_num, fn, embedding_init=emb_init
+            )
+            self.gmf_item_embeddings = nn.Embed(
+                self.item_num, fn, embedding_init=emb_init
+            )
+        self.predict_layer = nn.Dense(1, name="predict_layer")
+        self.emb_drop = nn.Dropout(self.emb_dropout)
+        self.hidden_drop = nn.Dropout(self.dropout)
+
+    def __call__(
+        self,
+        feat_tables: Sequence[Array],
+        user: Array,  # [B]
+        item_node_ids: Array,  # [B, S] neighborhood sequences
+        item_attention_mask: Array,  # [B, S]
+        deterministic: bool = True,
+    ) -> Array:
+        proj_tables = self.bert.project_tables(feat_tables)
+        feat_embeds = [t[item_node_ids] for t in proj_tables]
+        hidden, _ = self.bert(
+            feat_embeds, item_attention_mask, deterministic, projected=True
+        )
+        item_embeds = hidden[:, 0]  # CLS
+
+        x = jnp.concatenate(
+            [self.mlp_user_embeddings(user), item_embeds], axis=-1
+        )
+        x = self.emb_drop(x, deterministic=deterministic)
+        for layer in self.mlp_layers:
+            x = layer(x)
+            x = self.hidden_drop(x, deterministic=deterministic)
+            x = nn.relu(x)
+
+        if self.model == "NeuMF-end":
+            gmf = self.gmf_user_embeddings(user) * self.gmf_item_embeddings(
+                item_node_ids[:, 0] - 2
+            )
+            gmf = self.emb_drop(gmf, deterministic=deterministic)
+            x = jnp.concatenate([gmf, x], axis=-1)
+
+        return self.predict_layer(x)[..., 0]

@@ -239,6 +239,7 @@ def train(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, floa
         registry=registry,
         run=run,
         resume=args.run_id is not None,
+        swa_start=args.extra.get("swa_start"),
     )
 
 

@@ -1,0 +1,377 @@
+"""PMGT_NCF workload: end-to-end NCF with a PMGT item tower.
+
+The reference implements the model and dataset but never wires a trainer
+(SURVEY.md §2.2: no pmgt_ncf/trainer.py; reference train.py:306 dispatches
+only ncf/pmgt/dcn). Here it is a complete workload: ``train-pmgt-ncf``
+with the same ranking evaluation protocol as NCF.
+
+Item neighborhoods come from the per-epoch context cache (one fresh
+context per item per epoch); the item id ↔ node id mapping follows the
+reference's convention (item idx + 2, pmgt_ncf/datasets.py:62-67) when the
+item and node encoders coincide, with an explicit classes-based remap
+otherwise.
+"""
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pmgt_tpu.core.config import PMGTConfig, SamplingConfig, TrainArgs
+from pmgt_tpu.core.mesh import batch_sharding, make_mesh, replicated
+from pmgt_tpu.data.artifacts import load_artifacts
+from pmgt_tpu.data.interactions import (
+    InteractionData,
+    build_eval_candidates,
+    epoch_training_arrays,
+    train_valid_split,
+)
+from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
+from pmgt_tpu.metrics.ranking import get_ndcg, get_recall
+from pmgt_tpu.models.pmgt import bce_with_logits
+from pmgt_tpu.models.pmgt_ncf import PMGT_NCF
+from pmgt_tpu.sampling.pairs import sample_all_contexts
+from pmgt_tpu.tasks.interaction_base import TrainState
+from pmgt_tpu.train import engine
+from pmgt_tpu.train.checkpoints import restore_checkpoint
+from pmgt_tpu.train.registry import RunRegistry
+
+logger = logging.getLogger("pmgt_tpu")
+
+TOPK = 100
+
+
+def _item_to_node_map(artifacts) -> np.ndarray:
+    """item idx → node id. Uses the reference's +2 convention when the
+    encoders coincide; otherwise remaps via label classes (items missing
+    from the graph map to <pad> and encode as bare sequences)."""
+    ni = artifacts.num_items
+    if artifacts.item_classes is None or artifacts.node_classes is None or (
+        len(artifacts.item_classes) == len(artifacts.node_classes)
+        and (
+            np.asarray(artifacts.item_classes)
+            == np.asarray(artifacts.node_classes)
+        ).all()
+    ):
+        return np.arange(
+            NUM_SPECIAL_NODES, ni + NUM_SPECIAL_NODES, dtype=np.int32
+        )
+    node_idx = {
+        label: i + NUM_SPECIAL_NODES
+        for i, label in enumerate(np.asarray(artifacts.node_classes).tolist())
+    }
+    return np.asarray(
+        [
+            node_idx.get(label, 0)
+            for label in np.asarray(artifacts.item_classes).tolist()
+        ],
+        np.int32,
+    )
+
+
+class PMGTNCFTask:
+    def __init__(
+        self, args, artifacts, train_data, valid_data, test_data, trial=None
+    ):
+        self.args = args
+        self.artifacts = artifacts
+        self.train_data = train_data
+        self.valid_data = valid_data
+        self.test_data = test_data
+        self.trial = trial
+        self.mesh = make_mesh(args.num_devices)
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._replicated = replicated(self.mesh)
+        self.num_ng = args.extra.get("num_ng", 1)
+
+        e = args.extra
+        feat_dims = tuple(int(t.shape[-1]) for t in artifacts.feat_init_embs)
+        self.config = PMGTConfig(
+            hidden_size=e.get("hidden_size", 128),
+            feat_hidden_sizes=feat_dims,
+            intermediate_size=e.get("intermediate_size", 128),
+            num_hidden_layers=e.get("num_hidden_layers", 5),
+            num_attention_heads=e.get("num_attention_heads", 1),
+            beta=e.get("beta", 0.5),
+            attention_impl=e.get("attention_impl", "xla"),
+            dtype="bfloat16" if args.mp_enabled else "float32",
+        )
+        self.sampling = SamplingConfig(
+            max_ctx_neigh=e.get("max_ctx_neigh", 5),
+            hop_sampling_sizes=tuple(e.get("hop_sampling_sizes", (16, 8, 4))),
+        )
+        self.model = PMGT_NCF(
+            user_num=train_data.num_users,
+            item_num=train_data.num_items,
+            config=self.config,
+            factor_num=e.get("factor_num", 32),
+            num_layers=e.get("num_layers", 3),
+            emb_dropout=e.get("emb_dropout", 0.0),
+            dropout=e.get("dropout", 0.0),
+            model=args.model_name,
+        )
+
+        rep = self._replicated
+        self.graph = PaddedGraph(
+            *(jax.device_put(np.asarray(a), rep) for a in artifacts.graph)
+        )
+        self.feat_tables = [
+            jax.device_put(np.asarray(t), rep) for t in artifacts.feat_init_embs
+        ]
+        self.item_to_node = jax.device_put(_item_to_node_map(artifacts), rep)
+
+        s = self.sampling.seq_len
+        params = jax.jit(
+            partial(self.model.init, deterministic=True)
+        )(
+            {"params": jax.random.key(args.seed)},
+            self.feat_tables,
+            jnp.zeros((2,), jnp.int32),
+            jnp.zeros((2, s), jnp.int32),
+            jnp.ones((2, s), jnp.float32),
+        )["params"]
+        params = jax.device_put(params, rep)
+
+        from pmgt_tpu.train.optim import make_optimizer
+
+        m = len(train_data.pairs) * (1 + self.num_ng)
+        steps = max(m // args.train_batch_size, 1)
+        self.tx = make_optimizer(
+            params,
+            optim=args.optim,
+            lr=args.lr,
+            decay=args.decay,
+            scheduler_type=args.scheduler_type,
+            total_steps=steps * args.num_epochs,
+            warmup_ratio=args.scheduler_warmup,
+            gradient_max_norm=args.gradient_max_norm,
+        )
+        self.state = TrainState(params, jax.device_put(self.tx.init(params), rep))
+
+        self._sample_all_fn = jax.jit(
+            lambda key: sample_all_contexts(
+                self.graph, key, self.sampling, self.graph.nbr_ids.shape[0]
+            )
+        )
+        self._ctx_cache = None
+        self._train_step_fn = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._rank_fn = jax.jit(self._rank_impl)
+        self._epoch_arrays: Optional[Tuple[np.ndarray, ...]] = None
+
+    # ------------------------------------------------------------------
+    def _item_seqs(self, items, ctx):
+        nodes = self.item_to_node[items]
+        return ctx[0][nodes], ctx[1][nodes]
+
+    def _train_step_impl(self, state, users, items, labels, key, ctx):
+        def loss_fn(params):
+            seqs, mask = self._item_seqs(items, ctx)
+            logits = self.model.apply(
+                {"params": params},
+                self.feat_tables,
+                users,
+                seqs,
+                mask,
+                deterministic=False,
+                rngs={"dropout": key},
+            )
+            return jnp.mean(bce_with_logits(logits, labels))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state), {"loss": loss}
+
+    def _rank_impl(self, params, users, candidates, cand_mask, ctx):
+        b, l = candidates.shape
+        u = jnp.broadcast_to(users[:, None], candidates.shape).reshape(-1)
+        seqs, mask = self._item_seqs(candidates.reshape(-1), ctx)
+        logits = self.model.apply(
+            {"params": params},
+            self.feat_tables,
+            u,
+            seqs,
+            mask,
+            deterministic=True,
+        ).reshape(b, l)
+        neg_inf = jnp.finfo(logits.dtype).min
+        masked = jnp.where(cand_mask > 0, logits, neg_inf)
+        _, top_idx = jax.lax.top_k(masked, min(TOPK, l))
+        return jnp.take_along_axis(candidates, top_idx, axis=1), logits
+
+    # ------------------------------------------------------------------
+    # engine Task protocol
+    # ------------------------------------------------------------------
+    def on_epoch_start(self, epoch: int) -> None:
+        self._ctx_cache = self._sample_all_fn(
+            jax.random.key(np.uint32(self.args.seed * 55_001 + epoch))
+        )
+        key = jax.random.key(np.uint32(self.args.seed * 7_001 + epoch))
+        users, items, labels = epoch_training_arrays(
+            self.train_data, self.num_ng, key
+        )
+        rng = np.random.default_rng(self.args.seed * 11 + epoch)
+        perm = rng.permutation(len(users))
+        self._epoch_arrays = (users[perm], items[perm], labels[perm])
+
+    def train_batches(self, epoch: int):
+        if self._epoch_arrays is None:
+            self.on_epoch_start(epoch)
+        users, items, labels = self._epoch_arrays
+        bs = self.args.train_batch_size
+        for i in range(len(users) // bs):
+            sl = slice(i * bs, (i + 1) * bs)
+            yield (
+                jax.device_put(users[sl].astype(np.int32), self._batch_sharding),
+                jax.device_put(items[sl].astype(np.int32), self._batch_sharding),
+                jax.device_put(labels[sl], self._batch_sharding),
+                jax.random.key(
+                    np.uint32(self.args.seed * 13 + epoch * 100_003 + i)
+                ),
+            )
+
+    def train_step(self, state, batch):
+        if self._ctx_cache is None:
+            self.on_epoch_start(0)
+        users, items, labels, key = batch
+        return self._train_step_fn(
+            state, users, items, labels, key, self._ctx_cache
+        )
+
+    def evaluate(self, state, split: str = "valid") -> Dict[str, float]:
+        params = state.params if isinstance(state, TrainState) else state
+        data = self.valid_data if split == "valid" else self.test_data
+        if self._ctx_cache is None:
+            self.on_epoch_start(0)
+        ctx = self._ctx_cache
+        key = jax.random.key(np.uint32(self.args.seed * 17 + (split == "test")))
+        users, candidates, cand_mask, labels = build_eval_candidates(
+            data, self.args.extra.get("max_sample_items", 1000), key
+        )
+        bs = max(self.args.test_batch_size // 64, self.mesh.size)
+        preds, losses = [], []
+        rep_params = jax.device_put(params, self._replicated)
+        for i in range(0, len(users), bs):
+            sl = slice(i, i + bs)
+            u = users[sl]
+            pad = (-len(u)) % max(bs, self.mesh.size)
+            if pad:
+                u = np.concatenate([u, np.zeros(pad, np.int32)])
+                c = np.concatenate(
+                    [candidates[sl], np.zeros((pad,) + candidates.shape[1:], np.int32)]
+                )
+                m = np.concatenate(
+                    [cand_mask[sl], np.zeros((pad,) + cand_mask.shape[1:], np.float32)]
+                )
+            else:
+                c, m = candidates[sl], cand_mask[sl]
+            top_items, logits = self._rank_fn(
+                rep_params,
+                jax.device_put(u, self._batch_sharding),
+                jax.device_put(c, self._batch_sharding),
+                jax.device_put(m, self._batch_sharding),
+                ctx,
+            )
+            n = len(users[sl])
+            preds.append(np.asarray(top_items)[:n])
+            lg = np.asarray(logits)[:n]
+            lb, mk = labels[sl], cand_mask[sl]
+            bce = np.maximum(lg, 0) - lg * lb + np.log1p(np.exp(-np.abs(lg)))
+            losses.append((bce * mk).sum() / np.maximum(mk.sum(), 1))
+
+        prediction = np.concatenate(preds)
+        gt_sets = [
+            data.user_pos[r, : data.user_pos_count[r]].tolist()
+            for r in range(len(users))
+        ]
+        prefix = "val" if split == "valid" else "test"
+        results = {f"{prefix}/loss": float(np.mean(losses))}
+        ks = (20,) if split == "valid" else (10, 20)
+        for k in ks:
+            results[f"{prefix}/n{k}"] = get_ndcg(prediction, gt_sets, top=k)
+            results[f"{prefix}/r{k}"] = get_recall(prediction, gt_sets, top=k)
+        return results
+
+    def should_prune(self, value: float, epoch: int) -> bool:
+        if self.trial is None:
+            return False
+        self.trial.report(value, epoch)
+        return bool(self.trial.should_prune())
+
+
+# ----------------------------------------------------------------------
+# 7-function workload contract
+# ----------------------------------------------------------------------
+
+def check_args(args: TrainArgs) -> None:
+    if args.early_criterion not in ("loss", "n20", "r20"):
+        raise ValueError(f"invalid early_criterion {args.early_criterion}")
+    if args.model_name not in ("MLP", "NeuMF-end"):
+        raise ValueError(f"invalid model_name {args.model_name}")
+
+
+def init_run(args: TrainArgs) -> None:
+    np.random.seed(args.seed)
+
+
+def init_dataloader(args: TrainArgs, ctx: Dict[str, Any]) -> None:
+    artifacts = ctx.get("artifacts") or load_artifacts(
+        args.data_dir, args.dataset_name
+    )
+    ctx["artifacts"] = artifacts
+    train_pairs, valid_pairs = train_valid_split(
+        artifacts.train_pairs, args.valid_size, args.seed
+    )
+    nu, ni = artifacts.num_users, artifacts.num_items
+    ctx["train_data"] = InteractionData.build(train_pairs, nu, ni)
+    ctx["valid_data"] = InteractionData.build(valid_pairs, nu, ni)
+    ctx["test_data"] = InteractionData.build(artifacts.test_pairs, nu, ni)
+
+
+def init_model(args: TrainArgs, ctx: Dict[str, Any], trial=None) -> None:
+    ctx["task"] = PMGTNCFTask(
+        args,
+        ctx["artifacts"],
+        ctx["train_data"],
+        ctx["valid_data"],
+        ctx["test_data"],
+        trial,
+    )
+
+
+def train(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, float]:
+    return engine.fit(
+        ctx["task"],
+        num_epochs=args.num_epochs,
+        early=args.early,
+        early_criterion=args.early_criterion,
+        registry=registry,
+        run=run,
+        resume=args.run_id is not None,
+        swa_start=args.extra.get("swa_start"),
+    )
+
+
+def test(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, float]:
+    task: PMGTNCFTask = ctx["task"]
+    run_id = args.run_id or (run.run_id if run is not None else None)
+    if run_id is not None and registry is not None:
+        try:
+            path = registry.get_ckpt_path(run_id, load_best=True)
+            payload = restore_checkpoint(path)
+            task.state = TrainState(
+                jax.tree.map(jnp.asarray, payload["state"]["params"]),
+                task.state.opt_state,
+            )
+        except FileNotFoundError:
+            pass
+    return task.evaluate(task.state, "test")
+
+
+def inference(args: TrainArgs, ctx: Dict[str, Any], registry, run):
+    raise NotImplementedError("PMGT_NCF has no inference mode")

@@ -81,8 +81,12 @@ class PMGTTask:
             num_hidden_layers=args.extra.get("num_hidden_layers", 5),
             num_attention_heads=args.extra.get("num_attention_heads", 1),
             beta=args.extra.get("beta", 0.5),
+            position_embedding_type=args.extra.get(
+                "position_embedding_type", "absolute"
+            ),
             attention_impl=args.extra.get("attention_impl", "xla"),
             dtype="bfloat16" if args.mp_enabled else "float32",
+            gradient_checkpointing=args.extra.get("gradient_checkpointing", False),
         )
         self.sampling = SamplingConfig(
             max_ctx_neigh=args.extra.get("max_ctx_neigh", 5),
@@ -486,6 +490,7 @@ def train(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, floa
         registry=registry,
         run=run,
         resume=args.run_id is not None,
+        swa_start=args.extra.get("swa_start"),
     )
     return results
 

@@ -49,6 +49,37 @@ class Task(Protocol):
         ...
 
 
+class SWAAverager:
+    """Stochastic Weight Averaging over end-of-epoch parameters.
+
+    The reference vendors a Lightning SWA callback that is never registered
+    (callbacks.py:44, base_trainer.py:316-320 — dead code); here it ships
+    as a working optional feature: pass ``swa_start`` to ``fit`` and the
+    running average is evaluated and checkpointed as ``swa`` at the end.
+    Averaging matches the reference's dict-based swa_step semantics
+    (utils/train.py:55-66): avg_n+1 = (avg_n * n + p) / (n + 1).
+    """
+
+    def __init__(self):
+        self.n = 0
+        self.avg = None
+
+    def update(self, params) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        if self.avg is None:
+            self.avg = jax.tree.map(jnp.asarray, params)
+            self.n = 1
+            return
+        n = self.n
+
+        self.avg = jax.tree.map(
+            lambda a, p: (a * n + p) / (n + 1), self.avg, params
+        )
+        self.n += 1
+
+
 def _is_better(value: float, best: Optional[float], mode: str) -> bool:
     if best is None or not np.isfinite(best):
         return True
@@ -71,11 +102,14 @@ def fit(
     run: Optional[RunInfo] = None,
     log_every: int = 50,
     resume: bool = False,
+    swa_start: Optional[int] = None,
 ) -> Dict[str, float]:
     """Run the train/validate loop. Returns the final validation metrics
-    plus ``best`` (the best monitored value seen)."""
+    plus ``best`` (the best monitored value seen); with ``swa_start`` set,
+    also ``swa/<metric>`` entries for the weight-averaged model."""
     monitor = f"val/{early_criterion}"
     mode = criterion_mode(early_criterion)
+    swa = SWAAverager() if swa_start is not None else None
 
     state = task.state
     start_epoch = 0
@@ -150,6 +184,9 @@ def fit(
             " ".join(f"{k} {v:.5f}" for k, v in val_metrics.items()),
         )
 
+        if swa is not None and epoch >= swa_start and hasattr(state, "params"):
+            swa.update(state.params)
+
         if monitor not in val_metrics:
             raise KeyError(
                 f"early criterion {monitor!r} not in metrics {sorted(val_metrics)}"
@@ -191,6 +228,30 @@ def fit(
 
     results = dict(val_metrics)
     results["best"] = float(best_value) if best_value is not None else float("nan")
+
+    if swa is not None and swa.avg is not None and hasattr(state, "_replace"):
+        swa_state = state._replace(params=swa.avg)
+        swa_metrics = task.evaluate(swa_state, "valid")
+        results.update({f"swa/{k}": v for k, v in swa_metrics.items()})
+        if ckpt_dir is not None:
+            import os
+
+            save_checkpoint(
+                os.path.join(ckpt_dir, "swa"),
+                {"params": swa.avg, "n_models": swa.n},
+            )
+        logger.info(
+            "SWA (%d models): %s",
+            swa.n,
+            " ".join(f"{k} {v:.5f}" for k, v in swa_metrics.items()),
+        )
+        if registry is not None and run is not None:
+            registry.log_metrics(
+                run,
+                {f"swa/{k}": v for k, v in swa_metrics.items()},
+                step=global_step,
+                epoch=num_epochs,
+            )
     return results
 
 
