@@ -19,7 +19,7 @@ TPU-native differences:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -205,13 +205,20 @@ def make_pretrain_batch_cached(
     key: jax.Array,
     cfg: SamplingConfig,
     is_training: bool = True,
+    pair_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
 ) -> PretrainBatch:
-    """Batch assembly from a per-epoch context cache: pure gathers plus
-    cheap pos/neg pair sampling — no hop sampling on the hot path."""
-    batch = targets.shape[0]
-    pair_nodes, labels, pair_valid = sample_pairs(
-        graph, targets, key, cfg, is_training
-    )
+    """Batch assembly from per-epoch caches: pure gathers. With
+    ``pair_cache`` (from ``sample_all_pairs``) even the pos/neg pair draw
+    leaves the hot path; otherwise pairs are sampled fresh per step."""
+    if pair_cache is not None:
+        all_nodes, all_labels, all_valid = pair_cache
+        pair_nodes = all_nodes[targets]
+        labels = all_labels[targets]
+        pair_valid = all_valid[targets]
+    else:
+        pair_nodes, labels, pair_valid = sample_pairs(
+            graph, targets, key, cfg, is_training
+        )
     target_ids = ctx_ids[targets]
     target_mask = ctx_mask[targets]
     pair_ids = ctx_ids[pair_nodes]  # [B, P, S]
@@ -224,3 +231,37 @@ def make_pretrain_batch_cached(
         labels=labels,
         pair_valid=pair_valid,
     )
+
+
+def sample_all_pairs(
+    graph: PaddedGraph,
+    key: jax.Array,
+    cfg: SamplingConfig,
+    num_total: int,
+    is_training: bool = True,
+    chunk_size: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample pos/neg pairs for ALL nodes once (per epoch) → tables
+    [N_total, P]. Same refresh rate as the reference (each node is a
+    target once per epoch and re-draws its pairs then,
+    reference datasets.py:113-165); chunked so the rejection-sampling
+    membership buffer stays [chunk, N]."""
+    p = cfg.max_total_samples if is_training else 2
+    outs = []
+    n_chunks = (num_total + chunk_size - 1) // chunk_size
+    keys = jax.random.split(key, n_chunks)
+    for c in range(n_chunks):
+        start = c * chunk_size
+        size = min(chunk_size, num_total - start)
+        chunk = jnp.arange(start, start + size, dtype=jnp.int32)
+        if size < chunk_size:  # keep one compiled shape
+            chunk = jnp.pad(chunk, (0, chunk_size - size))
+        outs.append(
+            sample_pairs(graph, chunk, keys[c], cfg, is_training)
+        )
+    nodes = jnp.concatenate([o[0] for o in outs])[:num_total]
+    labels = jnp.concatenate([o[1] for o in outs])[:num_total]
+    valid = jnp.concatenate([o[2] for o in outs])[:num_total]
+    # Special rows (<pad>/<mask>) should never be targets; mask them out.
+    valid = valid.at[:NUM_SPECIAL_NODES].set(0.0)
+    return nodes, labels, valid

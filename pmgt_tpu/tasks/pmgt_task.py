@@ -34,6 +34,7 @@ from pmgt_tpu.sampling.pairs import (
     make_pretrain_batch,
     make_pretrain_batch_cached,
     sample_all_contexts,
+    sample_all_pairs,
 )
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
@@ -157,9 +158,20 @@ class PMGTTask:
         self.use_ctx_cache = bool(args.extra.get("ctx_cache", True))
         self._ctx_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self._ctx_cache_tag: Optional[Tuple] = None
+        n_total = self.graph.nbr_ids.shape[0]
         self._sample_all_fn = jax.jit(
             lambda key: sample_all_contexts(
-                self.graph, key, self.sampling, self.graph.nbr_ids.shape[0]
+                self.graph, key, self.sampling, n_total
+            )
+        )
+        self._sample_pairs_train_fn = jax.jit(
+            lambda key: sample_all_pairs(
+                self.graph, key, self.sampling, n_total, is_training=True
+            )
+        )
+        self._sample_pairs_eval_fn = jax.jit(
+            lambda key: sample_all_pairs(
+                self.graph, key, self.sampling, n_total, is_training=False
             )
         )
         self._train_step_fn = jax.jit(
@@ -175,14 +187,22 @@ class PMGTTask:
     # jitted step implementations
     # ------------------------------------------------------------------
     def _build_batch(self, targets, key, ctx, is_training):
-        """ctx = (ctx_ids, ctx_mask) cache tables, or None for fresh
-        per-occurrence sampling (exact reference semantics)."""
+        """ctx = (ctx_ids, ctx_mask, pair_cache) per-epoch cache tables,
+        or None for fresh per-occurrence sampling (exact reference
+        semantics)."""
         if ctx is None:
             return make_pretrain_batch(
                 self.graph, targets, key, self.sampling, is_training
             )
         return make_pretrain_batch_cached(
-            self.graph, ctx[0], ctx[1], targets, key, self.sampling, is_training
+            self.graph,
+            ctx[0],
+            ctx[1],
+            targets,
+            key,
+            self.sampling,
+            is_training,
+            pair_cache=ctx[2],
         )
 
     def _loss_fn(self, params, targets, key, ctx):
@@ -268,16 +288,25 @@ class PMGTTask:
         )
         return hidden[:, 0]
 
-    def _get_ctx(self, tag) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
-        """Context cache for a given phase tag (epoch index, eval id...),
-        refreshed when the tag changes; None when caching is disabled."""
+    def _get_ctx(self, tag):
+        """Per-phase cache (contexts + pairs) refreshed when the tag
+        changes; None when caching is disabled. Tags: ("train", epoch),
+        ("valid"/"test", step), ("inference",)."""
         if not self.use_ctx_cache:
             return None
         if self._ctx_cache_tag != tag:
-            key = jax.random.key(
-                np.uint32(self.args.seed * 104_729 + abs(hash(tag)) % 1_000_003)
+            seed = np.uint32(
+                self.args.seed * 104_729 + abs(hash(tag)) % 1_000_003
             )
-            self._ctx_cache = self._sample_all_fn(key)
+            k_ctx, k_pairs = jax.random.split(jax.random.key(seed))
+            ctx_ids, ctx_mask = self._sample_all_fn(k_ctx)
+            if tag[0] == "train":
+                pairs = self._sample_pairs_train_fn(k_pairs)
+            elif tag[0] in ("valid", "test"):
+                pairs = self._sample_pairs_eval_fn(k_pairs)
+            else:  # inference never consumes pairs
+                pairs = None
+            self._ctx_cache = (ctx_ids, ctx_mask, pairs)
             self._ctx_cache_tag = tag
         return self._ctx_cache
 
