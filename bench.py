@@ -53,6 +53,8 @@ def build_workload(seed: int = 0):
 
 
 def measure_tpu(art, batch_size: int, attention_impl: str = "xla") -> dict:
+    """Sustained training throughput: full epochs including the per-epoch
+    context/pair cache refresh (nothing amortized away)."""
     import jax
 
     from pmgt_tpu.core.config import TrainArgs
@@ -79,26 +81,34 @@ def measure_tpu(art, batch_size: int, attention_impl: str = "xla") -> dict:
     nodes = np.arange(2, art.num_nodes + 2, dtype=np.int32)
     task = PMGTTask(args, art, nodes, nodes[: batch_size])
 
-    batches = list(zip(range(WARMUP_STEPS + MEASURE_STEPS), task.train_batches(0)))
-    state = task.state
-    # warmup (includes compile)
+    def run_epoch(epoch):
+        task.on_epoch_start(epoch)
+        state = task.state
+        n = 0
+        for b in task.train_batches(epoch):
+            state, metrics = task.train_step(state, b)
+            n += 1
+        jax.block_until_ready(metrics["loss"])
+        task.state = state
+        return n, metrics
+
+    # warmup epoch (includes all compiles)
     t0 = time.time()
-    for _, b in batches[:WARMUP_STEPS]:
-        state, metrics = task.train_step(state, b)
-    jax.block_until_ready(metrics["loss"])
+    run_epoch(0)
     compile_time = time.time() - t0
 
+    n_epochs = 3
     t0 = time.time()
-    for _, b in batches[WARMUP_STEPS:]:
-        state, metrics = task.train_step(state, b)
-    jax.block_until_ready(metrics["loss"])
+    total_steps = 0
+    for e in range(1, 1 + n_epochs):
+        n, metrics = run_epoch(e)
+        total_steps += n
     elapsed = time.time() - t0
 
-    n_steps = len(batches) - WARMUP_STEPS
-    nodes_per_sec = batch_size * n_steps / elapsed
+    nodes_per_sec = batch_size * total_steps / elapsed
     return {
         "nodes_per_sec": nodes_per_sec,
-        "steps_per_sec": n_steps / elapsed,
+        "steps_per_sec": total_steps / elapsed,
         "compile_plus_warmup_s": compile_time,
         "n_devices": task.mesh.size,
         "loss": float(jax.device_get(metrics["loss"])),

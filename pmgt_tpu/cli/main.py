@@ -339,7 +339,17 @@ def train_model(
 
     try:
         if args.mode == "train":
-            trainer.train(args, ctx, registry, run)
+            if args.profile_dir:
+                import jax
+
+                jax.profiler.start_trace(args.profile_dir)
+                try:
+                    trainer.train(args, ctx, registry, run)
+                finally:
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace written to %s", args.profile_dir)
+            else:
+                trainer.train(args, ctx, registry, run)
         if args.mode == "eval":
             logger.info("Eval mode")
         results = trainer.test(args, ctx, registry, run)

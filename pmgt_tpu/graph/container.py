@@ -43,6 +43,10 @@ class PaddedGraph(NamedTuple):
     degrees: np.ndarray  # [N+2] int32
     alias_prob: np.ndarray  # [N+2, max_deg] float32
     alias_idx: np.ndarray  # [N+2, max_deg] int32
+    # Interleaved draw table [(N+2)*max_deg, 3] int32:
+    # (primary neighbor id, alias neighbor id, accept prob bitcast) — one
+    # weighted draw is a single contiguous 12-byte row gather.
+    alias_packed: np.ndarray
 
     @property
     def num_nodes(self) -> int:
@@ -84,6 +88,7 @@ class PaddedGraph(NamedTuple):
                 degrees=data["degrees"],
                 alias_prob=alias_prob,
                 alias_idx=alias_idx,
+                alias_packed=_pack_alias(data["nbr_ids"], alias_prob, alias_idx),
             )
 
 
@@ -150,7 +155,23 @@ def from_edges(
         degrees=degrees,
         alias_prob=alias_prob,
         alias_idx=alias_idx,
+        alias_packed=_pack_alias(nbr_ids, alias_prob, alias_idx),
     )
+
+
+def _pack_alias(
+    nbr_ids: np.ndarray, alias_prob: np.ndarray, alias_idx: np.ndarray
+) -> np.ndarray:
+    """Interleave (primary id, alias id, prob bits) per (node, slot) so one
+    draw needs one contiguous gather. The alias *slot* index is resolved to
+    the alias *neighbor id* here, removing a dependent gather."""
+    n, d = nbr_ids.shape
+    alias_node = np.take_along_axis(nbr_ids, alias_idx, axis=1)
+    packed = np.empty((n * d, 3), np.int32)
+    packed[:, 0] = nbr_ids.reshape(-1)
+    packed[:, 1] = alias_node.reshape(-1)
+    packed[:, 2] = alias_prob.astype(np.float32).reshape(-1).view(np.int32)
+    return packed
 
 
 def _build_alias_tables(

@@ -39,27 +39,29 @@ def _alias_draw(
 ) -> jnp.ndarray:
     """Draw ``num`` weighted neighbors per frontier node via alias tables.
 
+    One draw = one uniform + one contiguous 12-byte gather from the
+    interleaved (primary id, alias id, prob) table: the slot comes from
+    the integer part of u * degree, the acceptance uniform from its
+    fractional part (independent of the slot conditioned on it).
+
     frontier: [B, F] node ids → returns [B, F * num] sampled node ids.
     """
-    nbr_ids = jnp.asarray(graph.nbr_ids)
     degrees = jnp.asarray(graph.degrees)
-    alias_prob = jnp.asarray(graph.alias_prob)
-    alias_idx = jnp.asarray(graph.alias_idx)
+    packed = jnp.asarray(graph.alias_packed)  # [(N)*D, 3]
+    d = graph.nbr_ids.shape[1]
 
     b, f = frontier.shape
-    k_slot, k_accept = jax.random.split(key)
-    u_slot = jax.random.uniform(k_slot, (b, f, num))
-    u_accept = jax.random.uniform(k_accept, (b, f, num))
+    u = jax.random.uniform(key, (b, f, num))
 
     deg = jnp.maximum(degrees[frontier], 1)[..., None]  # [B, F, 1]
-    slot = jnp.minimum((u_slot * deg).astype(jnp.int32), deg - 1)
+    scaled = u * deg
+    slot = jnp.minimum(scaled.astype(jnp.int32), deg - 1)
+    frac = scaled - slot.astype(scaled.dtype)  # acceptance uniform
 
-    # gather per (node, slot): advanced indexing broadcasts node over num
-    node_b = jnp.broadcast_to(frontier[..., None], slot.shape)
-    prob = alias_prob[node_b, slot]
-    alias = alias_idx[node_b, slot]
-    chosen_slot = jnp.where(u_accept < prob, slot, alias)
-    sampled = nbr_ids[node_b, chosen_slot]
+    flat = frontier[..., None] * d + slot  # [B, F, num]
+    rows = packed[flat]  # [B, F, num, 3] — one contiguous gather
+    prob = jax.lax.bitcast_convert_type(rows[..., 2], jnp.float32)
+    sampled = jnp.where(frac < prob, rows[..., 0], rows[..., 1])
     return sampled.reshape(b, f * num)
 
 
