@@ -179,7 +179,13 @@ def _build_alias_tables(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Vose's alias method per node over softmax(edge weights) — the same
     distribution the reference samples from (reference datasets.py:27-32).
-    O(E) preprocessing."""
+    O(E) preprocessing; uses the native C++ builder when available."""
+    from pmgt_tpu.native import build_alias_tables_native
+
+    native = build_alias_tables_native(nbr_logits, degrees)
+    if native is not None:
+        return native
+
     n, d = nbr_logits.shape
     alias_prob = np.ones((n, d), dtype=np.float32)
     alias_idx = np.zeros((n, d), dtype=np.int32)
