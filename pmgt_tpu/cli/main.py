@@ -352,7 +352,7 @@ def train_model(
                 trainer.train(args, ctx, registry, run)
         if args.mode == "eval":
             logger.info("Eval mode")
-        results = trainer.test(args, ctx, registry, run)
+        results = trainer.test(args, ctx, registry, run, is_hptuning=is_hptuning)
         registry.set_status(run, "FINISHED")
         logger.info("test results: %s", results)
         return results

@@ -46,6 +46,9 @@ class InteractionTaskBase:
         test_data: InteractionData,
         trial=None,
     ):
+        from pmgt_tpu.tasks.pmgt_task import configure_prng
+
+        configure_prng(args)
         self.args = args
         self.train_data = train_data
         self.valid_data = valid_data

@@ -243,7 +243,9 @@ def train(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, floa
     )
 
 
-def test(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, float]:
+def test(
+    args: TrainArgs, ctx: Dict[str, Any], registry, run, is_hptuning: bool = False
+) -> Dict[str, float]:
     task: NCFTask = ctx["task"]
     run_id = args.run_id or (run.run_id if run is not None else None)
     if run_id is not None and registry is not None:
@@ -256,6 +258,11 @@ def test(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, float
             )
         except FileNotFoundError:
             pass
+    # During HPO, "test" metrics come from the validation split (the
+    # reference's leakage guard, ncf/trainer.py:240-245).
+    if is_hptuning:
+        metrics = task.evaluate(task.state, "valid")
+        return {k.replace("val/", "test/"): v for k, v in metrics.items()}
     return task.evaluate(task.state, "test")
 
 

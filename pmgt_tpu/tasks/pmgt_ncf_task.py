@@ -78,6 +78,9 @@ class PMGTNCFTask:
     def __init__(
         self, args, artifacts, train_data, valid_data, test_data, trial=None
     ):
+        from pmgt_tpu.tasks.pmgt_task import configure_prng
+
+        configure_prng(args)
         self.args = args
         self.artifacts = artifacts
         self.train_data = train_data
@@ -357,7 +360,9 @@ def train(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, floa
     )
 
 
-def test(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, float]:
+def test(
+    args: TrainArgs, ctx: Dict[str, Any], registry, run, is_hptuning: bool = False
+) -> Dict[str, float]:
     task: PMGTNCFTask = ctx["task"]
     run_id = args.run_id or (run.run_id if run is not None else None)
     if run_id is not None and registry is not None:
@@ -370,6 +375,11 @@ def test(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, float
             )
         except FileNotFoundError:
             pass
+    # During HPO, "test" metrics come from the validation split (the
+    # reference's leakage guard, ncf/trainer.py:240-245).
+    if is_hptuning:
+        metrics = task.evaluate(task.state, "valid")
+        return {k.replace("val/", "test/"): v for k, v in metrics.items()}
     return task.evaluate(task.state, "test")
 
 
