@@ -45,6 +45,45 @@ def test_gradients_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_backward_kernel_with_dropout_masks():
+    """The hand-written backward kernel must match jax.vjp of the XLA
+    formulation given identical dropout masks."""
+    import numpy as np
+
+    from pmgt_tpu.ops.dual_attention import _fused, _xla_forward
+
+    rng = np.random.default_rng(5)
+    b, s, d = 5, 6, 16
+    q, k, v, c = (
+        jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+        for _ in range(4)
+    )
+    mask = np.zeros((b, 1, s), np.float32)
+    mask[:, :, s - 1 :] = np.finfo(np.float32).min
+    mask = jnp.asarray(mask)
+    keep = 0.7
+    m1 = jnp.asarray(rng.random((b, s, s)) < keep)
+    m2 = jnp.asarray(rng.random((b, s, s)) < keep)
+
+    def loss_pallas(q, k, v, c):
+        return jnp.sum(_fused(q, k, v, c, mask, m1, m2, 0.4, keep, True) ** 2)
+
+    def loss_xla(q, k, v, c):
+        return jnp.sum(
+            _xla_forward(
+                q, k, v, c, mask, m1, m2, beta=0.4, keep=keep, use_dropout=True
+            )
+            ** 2
+        )
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, c)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, c)
+    for a, b_ in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_dropout_preserves_expectation():
     q, k, v, c, mask = _inputs(b=64, seed=2)
     outs = []
