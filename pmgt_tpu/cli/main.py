@@ -235,8 +235,8 @@ def train_dcn(ctx: click.Context, **raw_args):
 @click.option(
     "--attention-impl",
     type=click.Choice(["xla", "pallas"]),
-    default="xla",
-    help="dual-attention kernel implementation",
+    default=None,
+    help="dual-attention kernel implementation (default: pallas on TPU, xla elsewhere)",
 )
 @click.option(
     "--position-embedding-type",
@@ -282,7 +282,7 @@ def train_pmgt(ctx: click.Context, **raw_args):
 @click.option("--num-attention-heads", type=click.INT, default=1)
 @click.option("--beta", type=click.FLOAT, default=0.5)
 @click.option(
-    "--attention-impl", type=click.Choice(["xla", "pallas"]), default="xla"
+    "--attention-impl", type=click.Choice(["xla", "pallas"]), default=None
 )
 @click.pass_context
 def train_pmgt_ncf(ctx: click.Context, **raw_args):

