@@ -52,7 +52,7 @@ def build_workload(seed: int = 0):
     )
 
 
-def measure_tpu(art, batch_size: int, attention_impl: str = "xla") -> dict:
+def measure_tpu(art, batch_size: int, attention_impl=None) -> dict:
     """Sustained training throughput: full epochs including the per-epoch
     context/pair cache refresh (nothing amortized away)."""
     import jax
@@ -75,7 +75,7 @@ def measure_tpu(art, batch_size: int, attention_impl: str = "xla") -> dict:
             intermediate_size=128,
             num_hidden_layers=5,
             num_attention_heads=1,
-            attention_impl=attention_impl,
+            **({"attention_impl": attention_impl} if attention_impl else {}),
         ),
     )
     nodes = np.arange(2, art.num_nodes + 2, dtype=np.int32)
@@ -152,11 +152,7 @@ def main():
 
     import jax
 
-    impl = args.attention_impl
-    if impl is None:
-        impl = "xla"
-
-    result = measure_tpu(art, args.batch_size, impl)
+    result = measure_tpu(art, args.batch_size, args.attention_impl)
     if args.verbose:
         print("tpu:", result, file=sys.stderr)
 
