@@ -60,7 +60,9 @@ def configure_prng(args: TrainArgs) -> None:
     differ. Override with ``prng_impl: threefry2x32`` in args."""
     import jax
 
-    impl = args.extra.get("prng_impl", "rbg")
+    impl = args.extra.get("prng_impl") or os.environ.get(
+        "PMGT_TPU_PRNG", "rbg"
+    )
     try:
         jax.config.update("jax_default_prng_impl", impl)
     except Exception:  # unknown impl name: keep the default

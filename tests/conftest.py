@@ -17,6 +17,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 
+# Keep one PRNG implementation across the whole suite regardless of test
+# order (tasks switch the global default to the TPU-fast rbg otherwise).
+os.environ["PMGT_TPU_PRNG"] = "threefry2x32"
+
 import numpy as np
 import pytest
 
