@@ -83,14 +83,10 @@ def measure_tpu(art, batch_size: int, attention_impl=None) -> dict:
 
     def run_epoch(epoch):
         task.on_epoch_start(epoch)
-        state = task.state
-        n = 0
-        for b in task.train_batches(epoch):
-            state, metrics = task.train_step(state, b)
-            n += 1
-        jax.block_until_ready(metrics["loss"])
+        state, losses = task.train_epoch(task.state, epoch)
+        jax.block_until_ready(losses)
         task.state = state
-        return n, metrics
+        return len(losses), {"loss": losses[-1]}
 
     # warmup epoch (includes all compiles)
     t0 = time.time()

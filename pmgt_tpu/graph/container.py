@@ -43,10 +43,14 @@ class PaddedGraph(NamedTuple):
     degrees: np.ndarray  # [N+2] int32
     alias_prob: np.ndarray  # [N+2, max_deg] float32
     alias_idx: np.ndarray  # [N+2, max_deg] int32
-    # Interleaved draw table [(N+2)*max_deg, 3] int32:
-    # (primary neighbor id, alias neighbor id, accept prob bitcast) — one
-    # weighted draw is a single contiguous 12-byte row gather.
-    alias_packed: np.ndarray
+    # Flat draw tables [(N+2)*max_deg] int32, indexed by node*max_deg+slot.
+    # Kept as three separate flat arrays: TPU dynamic gather hits its fast
+    # path only when the operand is an unmodified program parameter — a
+    # [M,3] row gather, a sliced [3,M] operand, or a captured constant all
+    # measure ~1000x slower (see tests/test_sampling.py gather notes).
+    alias_primary: np.ndarray  # primary neighbor id per (node, slot)
+    alias_alias: np.ndarray  # alias neighbor id (slot pre-resolved)
+    alias_prob_bits: np.ndarray  # accept probability, f32 bitcast to int32
 
     @property
     def num_nodes(self) -> int:
@@ -82,13 +86,18 @@ class PaddedGraph(NamedTuple):
                 alias_prob, alias_idx = _build_alias_tables(
                     data["nbr_logits"], data["degrees"]
                 )
+            primary, alias_node, prob_bits = _pack_alias(
+                data["nbr_ids"], alias_prob, alias_idx
+            )
             return cls(
                 nbr_ids=data["nbr_ids"],
                 nbr_logits=data["nbr_logits"],
                 degrees=data["degrees"],
                 alias_prob=alias_prob,
                 alias_idx=alias_idx,
-                alias_packed=_pack_alias(data["nbr_ids"], alias_prob, alias_idx),
+                alias_primary=primary,
+                alias_alias=alias_node,
+                alias_prob_bits=prob_bits,
             )
 
 
@@ -149,29 +158,33 @@ def from_edges(
     nbr_logits[1, 0] = 0.0
 
     alias_prob, alias_idx = _build_alias_tables(nbr_logits, degrees)
+    primary, alias_node, prob_bits = _pack_alias(nbr_ids, alias_prob, alias_idx)
     return PaddedGraph(
         nbr_ids=nbr_ids,
         nbr_logits=nbr_logits,
         degrees=degrees,
         alias_prob=alias_prob,
         alias_idx=alias_idx,
-        alias_packed=_pack_alias(nbr_ids, alias_prob, alias_idx),
+        alias_primary=primary,
+        alias_alias=alias_node,
+        alias_prob_bits=prob_bits,
     )
 
 
 def _pack_alias(
     nbr_ids: np.ndarray, alias_prob: np.ndarray, alias_idx: np.ndarray
-) -> np.ndarray:
-    """Interleave (primary id, alias id, prob bits) per (node, slot) so one
-    draw needs one contiguous gather. The alias *slot* index is resolved to
-    the alias *neighbor id* here, removing a dependent gather."""
-    n, d = nbr_ids.shape
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flat per-(node, slot) draw tables. The alias *slot* index is
+    resolved to the alias *neighbor id* here, removing a dependent
+    gather."""
     alias_node = np.take_along_axis(nbr_ids, alias_idx, axis=1)
-    packed = np.empty((n * d, 3), np.int32)
-    packed[:, 0] = nbr_ids.reshape(-1)
-    packed[:, 1] = alias_node.reshape(-1)
-    packed[:, 2] = alias_prob.astype(np.float32).reshape(-1).view(np.int32)
-    return packed
+    return (
+        np.ascontiguousarray(nbr_ids.reshape(-1), np.int32),
+        np.ascontiguousarray(alias_node.reshape(-1), np.int32),
+        np.ascontiguousarray(
+            alias_prob.astype(np.float32).reshape(-1).view(np.int32)
+        ),
+    )
 
 
 def _build_alias_tables(

@@ -47,7 +47,6 @@ def _alias_draw(
     frontier: [B, F] node ids → returns [B, F * num] sampled node ids.
     """
     degrees = jnp.asarray(graph.degrees)
-    packed = jnp.asarray(graph.alias_packed)  # [(N)*D, 3]
     d = graph.nbr_ids.shape[1]
 
     b, f = frontier.shape
@@ -59,9 +58,14 @@ def _alias_draw(
     frac = scaled - slot.astype(scaled.dtype)  # acceptance uniform
 
     flat = frontier[..., None] * d + slot  # [B, F, num]
-    rows = packed[flat]  # [B, F, num, 3] — one contiguous gather
-    prob = jax.lax.bitcast_convert_type(rows[..., 2], jnp.float32)
-    sampled = jnp.where(frac < prob, rows[..., 0], rows[..., 1])
+    # Three flat gathers; keep the operands as unmodified arrays (any
+    # slicing/packing pushes TPU dynamic-gather off its fast path).
+    primary = jnp.asarray(graph.alias_primary)[flat]
+    alias = jnp.asarray(graph.alias_alias)[flat]
+    prob = jax.lax.bitcast_convert_type(
+        jnp.asarray(graph.alias_prob_bits)[flat], jnp.float32
+    )
+    sampled = jnp.where(frac < prob, primary, alias)
     return sampled.reshape(b, f * num)
 
 

@@ -176,6 +176,7 @@ def sample_all_contexts(
     key: jax.Array,
     cfg: SamplingConfig,
     num_total: int,
+    all_nodes: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sample one context per node for ALL nodes → cache tables
     [N_total, S] (rows 0/1 are the special ids, context-free).
@@ -187,8 +188,14 @@ def sample_all_contexts(
     context re-drawn exactly as often as the reference re-draws its
     *target* context, and removes graph sampling from the train step's
     critical path entirely.
+
+    Pass ``all_nodes`` (device arange) from outside the jit: an internal
+    ``jnp.arange`` becomes a compile-time constant frontier and pushes the
+    TPU dynamic gathers off their fast path (measured 185 ms vs 0.7 ms for
+    a full TG-scale refresh).
     """
-    all_nodes = jnp.arange(num_total, dtype=jnp.int32)
+    if all_nodes is None:
+        all_nodes = jnp.arange(num_total, dtype=jnp.int32)
     ids, mask = sample_context(graph, all_nodes, key, cfg)
     # Special rows: context-free (target-only mask).
     special = jnp.zeros((NUM_SPECIAL_NODES, ids.shape[1] - 1), jnp.int32)

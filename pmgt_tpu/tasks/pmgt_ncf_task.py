@@ -165,9 +165,13 @@ class PMGTNCFTask:
         )
         self.state = TrainState(params, jax.device_put(self.tx.init(params), rep))
 
+        n_total = self.graph.nbr_ids.shape[0]
+        self._all_nodes = jax.device_put(
+            np.arange(n_total, dtype=np.int32), self._replicated
+        )
         self._sample_all_fn = jax.jit(
-            lambda key: sample_all_contexts(
-                self.graph, key, self.sampling, self.graph.nbr_ids.shape[0]
+            lambda graph, nodes, key: sample_all_contexts(
+                graph, key, self.sampling, n_total, all_nodes=nodes
             )
         )
         self._ctx_cache = None
@@ -221,7 +225,9 @@ class PMGTNCFTask:
     # ------------------------------------------------------------------
     def on_epoch_start(self, epoch: int) -> None:
         self._ctx_cache = self._sample_all_fn(
-            jax.random.key(np.uint32(self.args.seed * 55_001 + epoch))
+            self.graph,
+            self._all_nodes,
+            jax.random.key(np.uint32(self.args.seed * 55_001 + epoch)),
         )
         key = jax.random.key(np.uint32(self.args.seed * 7_001 + epoch))
         users, items, labels = epoch_training_arrays(

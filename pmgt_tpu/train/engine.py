@@ -148,28 +148,44 @@ def fit(
             )
 
     val_metrics: Dict[str, float] = {}
+    epoch_runner = getattr(task, "train_epoch", None)
+    if epoch_runner is not None and not getattr(task, "use_scan_epoch", True):
+        epoch_runner = None
+
     for epoch in range(start_epoch, num_epochs):
         task.on_epoch_start(epoch)
         epoch_start = time.time()
-        train_losses = []
-        n_batches = 0
-        for batch in task.train_batches(epoch):
-            state, metrics = task.train_step(state, batch)
-            n_batches += 1
-            global_step += 1
-            if "loss" in metrics:
-                train_losses.append(metrics["loss"])
-            if log_every and n_batches % log_every == 0:
-                loss_val = float(jax.device_get(metrics.get("loss", np.nan)))
-                logger.info(
-                    "epoch %d step %d loss %.5f", epoch, global_step, loss_val
-                )
 
-        train_loss = (
-            float(np.mean([float(jax.device_get(x)) for x in train_losses[-100:]]))
-            if train_losses
-            else float("nan")
-        )
+        if epoch_runner is not None:
+            # Whole-epoch scan: one dispatch, per-step losses come back as
+            # a device array.
+            state, losses = epoch_runner(state, epoch)
+            losses = np.asarray(jax.device_get(losses), dtype=np.float64)
+            n_batches = len(losses)
+            global_step += n_batches
+            train_loss = float(losses[-100:].mean()) if n_batches else float("nan")
+        else:
+            train_losses = []
+            n_batches = 0
+            for batch in task.train_batches(epoch):
+                state, metrics = task.train_step(state, batch)
+                n_batches += 1
+                global_step += 1
+                if "loss" in metrics:
+                    train_losses.append(metrics["loss"])
+                if log_every and n_batches % log_every == 0:
+                    loss_val = float(jax.device_get(metrics.get("loss", np.nan)))
+                    logger.info(
+                        "epoch %d step %d loss %.5f", epoch, global_step, loss_val
+                    )
+
+            train_loss = (
+                float(
+                    np.mean([float(jax.device_get(x)) for x in train_losses[-100:]])
+                )
+                if train_losses
+                else float("nan")
+            )
 
         val_metrics = task.evaluate(state, "valid")
         elapsed = time.time() - epoch_start
