@@ -254,6 +254,12 @@ def train_dcn(ctx: click.Context, **raw_args):
     default=True,
     help="per-epoch context cache (off = exact per-occurrence resampling)",
 )
+@click.option(
+    "--scan-epoch/--no-scan-epoch",
+    default=True,
+    help="run each epoch as one lax.scan dispatch (off = per-step dispatch "
+    "with step-level loss logging)",
+)
 @click.pass_context
 def train_pmgt(ctx: click.Context, **raw_args):
     """Pre-train PMGT."""

@@ -96,6 +96,22 @@ class InteractionTaskBase:
             donate_argnums=(0,),
         )
         self._score_fn = jax.jit(self._score_impl)
+        # Whole-epoch scan runner (see pmgt_task.train_epoch).
+        self.use_scan_epoch = bool(args.extra.get("scan_epoch", True))
+
+        def _epoch_impl(state, users_all, items_all, labels_all, keys):
+            def body(st, xs):
+                u, i, l, k = xs
+                st, metrics = self._train_step_impl(
+                    st, u, i, l, k, args.accumulation_step, freeze
+                )
+                return st, metrics["loss"]
+
+            return jax.lax.scan(
+                body, state, (users_all, items_all, labels_all, keys)
+            )
+
+        self._train_epoch_fn = jax.jit(_epoch_impl, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def _loss_fn(self, params, users, items, labels, key):
@@ -183,6 +199,32 @@ class InteractionTaskBase:
     def train_step(self, state, batch):
         users, items, labels, key = batch
         return self._train_step_fn(state, users, items, labels, key)
+
+    def train_epoch(self, state, epoch: int):
+        """Engine fast path: one lax.scan dispatch per epoch."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self._epoch_arrays is None:
+            self.on_epoch_start(epoch)
+        users, items, labels = self._epoch_arrays
+        bs = self.args.train_batch_size
+        n_full = len(users) // bs
+        if n_full == 0:
+            return state, np.zeros((0,), np.float32)
+        sharding = NamedSharding(self.mesh, P(None, "data"))
+        cut = n_full * bs
+        users_all = jax.device_put(
+            users[:cut].astype(np.int32).reshape(n_full, bs), sharding
+        )
+        items_all = jax.device_put(
+            items[:cut].astype(np.int32).reshape(n_full, bs), sharding
+        )
+        labels_all = jax.device_put(
+            labels[:cut].astype(np.float32).reshape(n_full, bs), sharding
+        )
+        base = jax.random.key(np.uint32(self.args.seed * 13 + epoch * 100_003))
+        keys = jax.random.split(base, n_full)
+        return self._train_epoch_fn(state, users_all, items_all, labels_all, keys)
 
     def should_prune(self, value: float, epoch: int) -> bool:
         if self.trial is None:
