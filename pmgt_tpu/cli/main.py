@@ -14,7 +14,6 @@ import time
 from typing import Dict, Optional
 
 import click
-import numpy as np
 
 from pmgt_tpu.core.config import TrainArgs
 from pmgt_tpu.train.registry import RunRegistry

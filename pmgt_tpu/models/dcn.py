@@ -12,7 +12,6 @@ Faithfulness notes:
 """
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import jax

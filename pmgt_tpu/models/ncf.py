@@ -13,7 +13,7 @@ per-user Python loop (ncf/trainer.py:202-219).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

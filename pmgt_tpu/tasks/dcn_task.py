@@ -30,7 +30,6 @@ from pmgt_tpu.models.ncf import inject_item_embeddings
 from pmgt_tpu.tasks.interaction_base import InteractionTaskBase, TrainState
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
-from pmgt_tpu.train.registry import RunRegistry
 
 logger = logging.getLogger("pmgt_tpu")
 

@@ -39,7 +39,6 @@ from pmgt_tpu.sampling.pairs import sample_all_contexts
 from pmgt_tpu.tasks.interaction_base import TrainState
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
-from pmgt_tpu.train.registry import RunRegistry
 
 logger = logging.getLogger("pmgt_tpu")
 

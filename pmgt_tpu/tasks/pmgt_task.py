@@ -15,9 +15,8 @@ from __future__ import annotations
 
 import logging
 import os
-from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, Iterable, List, NamedTuple, Optional, Tuple
+from typing import Any, Dict, Iterable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ from pmgt_tpu.core.mesh import batch_sharding, make_mesh, replicated
 from pmgt_tpu.data.artifacts import DatasetArtifacts, load_artifacts
 from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
 from pmgt_tpu.metrics.ranking import roc_auc, stable_sigmoid
-from pmgt_tpu.models.pmgt import PMGTForPreTraining, bce_with_logits
+from pmgt_tpu.models.pmgt import PMGTForPreTraining
 from pmgt_tpu.sampling.pairs import (
     make_pretrain_batch,
     make_pretrain_batch_cached,

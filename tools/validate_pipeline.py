@@ -1,10 +1,16 @@
 """Quality validation on TPU: PMGT pretrain → export → NCF/DCN with vs
 without PMGT embeddings, on a VG-scale synthetic dataset."""
+import argparse
 import json
 import logging
 import os
 
 logging.basicConfig(level=logging.INFO)
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--pmgt-epochs", type=int, default=8)
+_ap.add_argument("--downstream-epochs", type=int, default=12)
+_ap.add_argument("--out", default="/tmp/quality")
+_cli = _ap.parse_args()
 import numpy as np
 
 from pmgt_tpu.core.config import TrainArgs
@@ -12,7 +18,7 @@ from pmgt_tpu.data.artifacts import save_native
 from pmgt_tpu.data.synthetic import make_synthetic_dataset
 from pmgt_tpu.train.registry import RunRegistry
 
-OUT = "/tmp/quality"
+OUT = _cli.out
 os.makedirs(OUT, exist_ok=True)
 results = {}
 
@@ -34,7 +40,7 @@ print(
 from pmgt_tpu.tasks import pmgt_task
 
 args = TrainArgs(
-    model_name="PMGT", dataset_name="Q", seed=0, num_epochs=8,
+    model_name="PMGT", dataset_name="Q", seed=0, num_epochs=_cli.pmgt_epochs,
     train_batch_size=256, test_batch_size=512, lr=1e-4, decay=1e-2,
     early=5, early_criterion="auc", valid_size=0.1, mp_enabled=True,
     gradient_max_norm=5.0, log_dir=f"{OUT}/logs",
@@ -62,7 +68,7 @@ for tag, emb in (("plain", None), ("pmgt", emb_path)):
     if emb:
         extra.update(item_init_emb_path=emb, normalize_item_init_emb=True)
     a = TrainArgs(
-        model_name="NeuMF-end", dataset_name="Q", seed=0, num_epochs=12,
+        model_name="NeuMF-end", dataset_name="Q", seed=0, num_epochs=_cli.downstream_epochs,
         train_batch_size=256, test_batch_size=512, lr=1e-3, decay=0.0,
         early=4, early_criterion="n20", valid_size=0.2, mp_enabled=True,
         gradient_max_norm=5.0, log_dir=f"{OUT}/logs", extra=extra,
@@ -89,7 +95,7 @@ for tag, emb in (("plain", None), ("pmgt", emb_path)):
     if emb:
         extra.update(item_init_emb_path=emb, normalize_item_init_emb=True)
     a = TrainArgs(
-        model_name="DCN", dataset_name="Q", seed=0, num_epochs=10,
+        model_name="DCN", dataset_name="Q", seed=0, num_epochs=_cli.downstream_epochs,
         train_batch_size=256, test_batch_size=512, lr=1e-3, decay=1e-3,
         early=4, early_criterion="auc", valid_size=0.2, mp_enabled=True,
         gradient_max_norm=5.0, log_dir=f"{OUT}/logs", extra=extra,
