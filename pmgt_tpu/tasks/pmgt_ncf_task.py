@@ -178,6 +178,21 @@ class PMGTNCFTask:
         self._rank_fn = jax.jit(self._rank_impl)
         self._epoch_arrays: Optional[Tuple[np.ndarray, ...]] = None
 
+        # Whole-epoch scan runner (see pmgt_task.train_epoch).
+        self.use_scan_epoch = bool(e.get("scan_epoch", True))
+
+        def _epoch_impl(state, users_all, items_all, labels_all, keys, ctx):
+            def body(st, xs):
+                u, i, l, k = xs
+                st, metrics = self._train_step_impl(st, u, i, l, k, ctx)
+                return st, metrics["loss"]
+
+            return jax.lax.scan(
+                body, state, (users_all, items_all, labels_all, keys)
+            )
+
+        self._train_epoch_fn = jax.jit(_epoch_impl, donate_argnums=(0,))
+
     # ------------------------------------------------------------------
     def _item_seqs(self, items, ctx):
         nodes = self.item_to_node[items]
@@ -258,6 +273,34 @@ class PMGTNCFTask:
         users, items, labels, key = batch
         return self._train_step_fn(
             state, users, items, labels, key, self._ctx_cache
+        )
+
+    def train_epoch(self, state, epoch: int):
+        """Engine fast path: one lax.scan dispatch per epoch."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self._epoch_arrays is None or self._ctx_cache is None:
+            self.on_epoch_start(epoch)
+        users, items, labels = self._epoch_arrays
+        bs = self.args.train_batch_size
+        n_full = len(users) // bs
+        if n_full == 0:
+            return state, np.zeros((0,), np.float32)
+        sharding = NamedSharding(self.mesh, P(None, "data"))
+        cut = n_full * bs
+        users_all = jax.device_put(
+            users[:cut].astype(np.int32).reshape(n_full, bs), sharding
+        )
+        items_all = jax.device_put(
+            items[:cut].astype(np.int32).reshape(n_full, bs), sharding
+        )
+        labels_all = jax.device_put(
+            labels[:cut].astype(np.float32).reshape(n_full, bs), sharding
+        )
+        base = jax.random.key(np.uint32(self.args.seed * 13 + epoch * 100_003))
+        keys = jax.random.split(base, n_full)
+        return self._train_epoch_fn(
+            state, users_all, items_all, labels_all, keys, self._ctx_cache
         )
 
     def evaluate(self, state, split: str = "valid") -> Dict[str, float]:

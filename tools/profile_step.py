@@ -1,4 +1,9 @@
 """Scratch: decompose cached train-step cost on TPU."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -1,5 +1,10 @@
 """Quality validation on TPU: PMGT pretrain → export → NCF/DCN with vs
 without PMGT embeddings, on a VG-scale synthetic dataset."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import logging
