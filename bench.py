@@ -93,18 +93,19 @@ def measure_tpu(art, batch_size: int, attention_impl=None) -> dict:
     run_epoch(0)
     compile_time = time.time() - t0
 
-    n_epochs = 3
-    t0 = time.time()
-    total_steps = 0
+    # Per-epoch timing with a median: the benchmark chip may be
+    # pool-shared, and the median is robust to contention spikes.
+    n_epochs = 5
+    rates = []
     for e in range(1, 1 + n_epochs):
+        t0 = time.time()
         n, metrics = run_epoch(e)
-        total_steps += n
-    elapsed = time.time() - t0
-
-    nodes_per_sec = batch_size * total_steps / elapsed
+        rates.append(batch_size * n / (time.time() - t0))
+    rates.sort()
+    nodes_per_sec = rates[len(rates) // 2]
     return {
         "nodes_per_sec": nodes_per_sec,
-        "steps_per_sec": total_steps / elapsed,
+        "nodes_per_sec_all_epochs": [round(r) for r in rates],
         "compile_plus_warmup_s": compile_time,
         "n_devices": task.mesh.size,
         "loss": float(jax.device_get(metrics["loss"])),
