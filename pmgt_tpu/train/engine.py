@@ -92,6 +92,48 @@ def criterion_mode(criterion: str) -> str:
     return "min" if "loss" in criterion else "max"
 
 
+class _PreemptionGuard:
+    """SIGTERM/SIGINT-safe training: the first signal requests a graceful
+    stop (the epoch finishes, the last checkpoint is written, status is
+    marked INTERRUPTED); a second signal falls through to the default
+    handler. Production preemption handling the reference lacks entirely
+    (its recovery is manual --run-id resume, SURVEY.md §5)."""
+
+    def __init__(self):
+        self.requested = False
+        self._previous = {}
+
+    def __enter__(self):
+        import signal
+
+        def handler(signum, frame):
+            if self.requested:  # second signal: give up gracefully
+                raise KeyboardInterrupt
+            self.requested = True
+            logger.warning(
+                "received signal %s — finishing the current epoch, "
+                "checkpointing, then stopping",
+                signum,
+            )
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._previous[sig] = signal.signal(sig, handler)
+            except (ValueError, OSError):  # non-main thread etc.
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        for sig, prev in self._previous.items():
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, OSError):
+                pass
+        return False
+
+
 def fit(
     task: Task,
     *,
@@ -152,6 +194,8 @@ def fit(
     if epoch_runner is not None and not getattr(task, "use_scan_epoch", True):
         epoch_runner = None
 
+    guard = _PreemptionGuard()
+    guard.__enter__()
     for epoch in range(start_epoch, num_epochs):
         task.on_epoch_start(epoch)
         epoch_start = time.time()
@@ -234,6 +278,16 @@ def fit(
                 save_checkpoint(os.path.join(ckpt_dir, "best"), payload)
                 write_best_info(ckpt_dir, monitor, best_value, epoch)
 
+        if guard.requested:
+            if registry is not None and run is not None:
+                registry.set_status(run, "INTERRUPTED")
+            logger.warning(
+                "stopping after epoch %d (preemption signal); resume with "
+                "--run-id",
+                epoch,
+            )
+            break
+
         if task_should_prune(task, value, epoch):
             logger.info("trial pruned at epoch %d", epoch)
             break
@@ -241,6 +295,8 @@ def fit(
         if early and patience >= early:
             logger.info("early stopping at epoch %d (patience %d)", epoch, early)
             break
+
+    guard.__exit__()
 
     results = dict(val_metrics)
     results["best"] = float(best_value) if best_value is not None else float("nan")
