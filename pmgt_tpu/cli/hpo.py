@@ -99,24 +99,88 @@ def get_hp_params(trial, hp_params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 # --------------------------------------------------------------------------
-# fallback random-search backend
+# fallback search backend: random bootstrap + TPE-style refinement
 # --------------------------------------------------------------------------
 
+def _tpe_numeric(history, low, high, rng, n_candidates=24, gamma=0.3):
+    """Pick a value by the TPE density ratio l(x)/g(x): model the top-γ
+    trials' values ("good") and the rest ("bad") with Gaussian kernel
+    mixtures, sample candidates from the good mixture, keep the best
+    ratio. history: [(value, objective)] sorted best-first."""
+    values = np.asarray([v for v, _ in history], dtype=np.float64)
+    n_good = max(1, int(np.ceil(gamma * len(values))))
+    good, bad = values[:n_good], values[n_good:]
+    if len(bad) == 0:
+        bad = values
+    span = max(high - low, 1e-12)
+
+    def bw(xs):
+        return max(np.std(xs) * len(xs) ** -0.2, 0.05 * span)
+
+    bw_g, bw_b = bw(good), bw(bad)
+
+    def density(x, centers, h):
+        z = (x[:, None] - centers[None, :]) / h
+        return np.exp(-0.5 * z * z).sum(axis=1) / (len(centers) * h) + 1e-12
+
+    centers = good[rng.integers(len(good), size=n_candidates)]
+    cands = np.clip(centers + rng.normal(size=n_candidates) * bw_g, low, high)
+    ratio = density(cands, good, bw_g) / density(cands, bad, bw_b)
+    return float(cands[int(np.argmax(ratio))])
+
+
+def _tpe_categorical(history, choices, rng, gamma=0.3):
+    """Sample from the smoothed empirical distribution of the top-γ
+    trials' choices."""
+    n_good = max(1, int(np.ceil(gamma * len(history))))
+    good = [v for v, _ in history[:n_good]]
+    weights = np.ones(len(choices))  # Laplace smoothing
+    for v in good:
+        for i, c in enumerate(choices):
+            if c == v:
+                weights[i] += 1.0
+    weights = weights / weights.sum()
+    return choices[int(rng.choice(len(choices), p=weights))]
+
+
 class RandomTrial:
-    def __init__(self, number: int, rng: np.random.Generator):
+    """One trial of the built-in study. Bootstraps with random search;
+    once ``history`` (best-first [(params, value)]) has enough completed
+    trials, numeric and categorical suggestions switch to TPE-style
+    sampling."""
+
+    MIN_HISTORY = 8
+
+    def __init__(self, number: int, rng: np.random.Generator, history=None):
         self.number = number
         self.params: Dict[str, Any] = {}
         self._rng = rng
+        self._history = history or []
         self.value: Optional[float] = None
         self.state = "RUNNING"
 
+    def _param_history(self, name):
+        return [
+            (p[name], v) for p, v in self._history if name in p
+        ]
+
     def suggest_categorical(self, name, choices):
-        v = choices[int(self._rng.integers(len(choices)))]
+        hist = self._param_history(name)
+        if len(hist) >= self.MIN_HISTORY:
+            v = _tpe_categorical(hist, list(choices), self._rng)
+        else:
+            v = choices[int(self._rng.integers(len(choices)))]
         self.params[name] = v
         return v
 
     def suggest_float(self, name, low, high, step=None, log=False):
-        if step:
+        hist = self._param_history(name)
+        if len(hist) >= self.MIN_HISTORY:
+            v = _tpe_numeric(hist, low, high, self._rng)
+            if step:
+                v = low + round((v - low) / step) * step
+            v = float(min(max(v, low), high))
+        elif step:
             n = int((high - low) / step) + 1
             v = low + step * int(self._rng.integers(n))
         elif log:
@@ -127,11 +191,16 @@ class RandomTrial:
         return v
 
     def suggest_int(self, name, low, high, step=1):
-        v = int(self._rng.integers(low, high + 1))
+        hist = self._param_history(name)
+        if len(hist) >= self.MIN_HISTORY:
+            v = int(round(_tpe_numeric(hist, low, high, self._rng)))
+            v = min(max(v, low), high)
+        else:
+            v = int(self._rng.integers(low, high + 1))
         self.params[name] = v
         return v
 
-    def report(self, value, step):  # pruning no-op in random search
+    def report(self, value, step):  # pruning no-op in the built-in study
         pass
 
     def should_prune(self):
@@ -151,10 +220,17 @@ class RandomSearchStudy:
             with open(self.path, encoding="utf-8") as f:
                 self.trials = json.load(f)
 
+    def _history(self):
+        """Completed trials as best-first [(params, value)]."""
+        done = [t for t in self.trials if t["state"] == "COMPLETE"]
+        reverse = self.direction == "maximize"
+        done.sort(key=lambda t: t["value"], reverse=reverse)
+        return [(t["params"], t["value"]) for t in done]
+
     def optimize(self, objective, n_trials: int, callbacks=()):
         rng = np.random.default_rng(len(self.trials) * 7919 + int(time.time()) % 1000)
         while len([t for t in self.trials if t["state"] == "COMPLETE"]) < n_trials:
-            trial = RandomTrial(len(self.trials), rng)
+            trial = RandomTrial(len(self.trials), rng, history=self._history())
             try:
                 value = objective(trial)
                 record = {

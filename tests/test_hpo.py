@@ -162,3 +162,40 @@ def test_random_search_study(tmp_path):
     # persistence: reloading keeps trials
     study2 = RandomSearchStudy(storage, "s1", "maximize")
     assert len(study2.trials) == 5
+
+
+def test_tpe_concentrates_on_good_region(tmp_path):
+    """With enough history, the built-in study's suggestions concentrate
+    near the optimum of a 1-D quadratic objective."""
+    from pmgt_tpu.cli.hpo import RandomSearchStudy
+
+    study = RandomSearchStudy(str(tmp_path / "db"), "tpe", "maximize")
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0.0, 1.0)
+        return -((x - 0.7) ** 2)
+
+    study.optimize(objective, n_trials=40)
+    done = sorted(study.trials, key=lambda t: t["number"])
+    early = [t["params"]["x"] for t in done[:8]]
+    late = [t["params"]["x"] for t in done[-15:]]
+    # late-phase suggestions sit closer to the optimum on average
+    assert abs(np.mean(late) - 0.7) < abs(np.mean(early) - 0.7) + 0.05
+    assert np.mean([abs(x - 0.7) for x in late]) < 0.25
+
+
+def test_tpe_handles_conditional_param_gaps(tmp_path):
+    """Params that only exist in some trials (conditional DSL) must not
+    break history-aware suggestion."""
+    from pmgt_tpu.cli.hpo import RandomSearchStudy
+
+    study = RandomSearchStudy(str(tmp_path / "db"), "cond", "maximize")
+
+    def objective(trial):
+        kind = trial.suggest_categorical("kind", ["a", "b"])
+        if kind == "a":
+            return trial.suggest_float("xa", 0.0, 1.0)
+        return 0.5 * trial.suggest_float("xb", 0.0, 1.0)
+
+    study.optimize(objective, n_trials=30)
+    assert len([t for t in study.trials if t["state"] == "COMPLETE"]) == 30
