@@ -210,8 +210,15 @@ class RandomTrial:
 class RandomSearchStudy:
     """Minimal Study with JSON persistence, used when optuna is absent."""
 
-    def __init__(self, storage_path: str, study_name: str, direction: str):
+    def __init__(
+        self,
+        storage_path: str,
+        study_name: str,
+        direction: str,
+        seed: Optional[int] = None,
+    ):
         self.direction = direction
+        self.seed = seed
         self.path = os.path.join(
             os.path.dirname(storage_path), f"{study_name}_trials.json"
         )
@@ -228,7 +235,12 @@ class RandomSearchStudy:
         return [(t["params"], t["value"]) for t in done]
 
     def optimize(self, objective, n_trials: int, callbacks=()):
-        rng = np.random.default_rng(len(self.trials) * 7919 + int(time.time()) % 1000)
+        base = (
+            self.seed
+            if self.seed is not None
+            else int(time.time()) % 1000
+        )
+        rng = np.random.default_rng(len(self.trials) * 7919 + base)
         while len([t for t in self.trials if t["state"] == "COMPLETE"]) < n_trials:
             trial = RandomTrial(len(self.trials), rng, history=self._history())
             try:

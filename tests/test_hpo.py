@@ -169,7 +169,7 @@ def test_tpe_concentrates_on_good_region(tmp_path):
     near the optimum of a 1-D quadratic objective."""
     from pmgt_tpu.cli.hpo import RandomSearchStudy
 
-    study = RandomSearchStudy(str(tmp_path / "db"), "tpe", "maximize")
+    study = RandomSearchStudy(str(tmp_path / "db"), "tpe", "maximize", seed=7)
 
     def objective(trial):
         x = trial.suggest_float("x", 0.0, 1.0)
@@ -189,7 +189,7 @@ def test_tpe_handles_conditional_param_gaps(tmp_path):
     break history-aware suggestion."""
     from pmgt_tpu.cli.hpo import RandomSearchStudy
 
-    study = RandomSearchStudy(str(tmp_path / "db"), "cond", "maximize")
+    study = RandomSearchStudy(str(tmp_path / "db"), "cond", "maximize", seed=11)
 
     def objective(trial):
         kind = trial.suggest_categorical("kind", ["a", "b"])
