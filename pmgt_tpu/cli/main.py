@@ -358,7 +358,11 @@ def train_model(
         if args.mode == "eval":
             logger.info("Eval mode")
         results = trainer.test(args, ctx, registry, run, is_hptuning=is_hptuning)
-        registry.set_status(run, "FINISHED")
+        # A preempted fit marks the run INTERRUPTED; keep that status so
+        # resume/orchestration logic keyed on it is not misled (the test
+        # pass above still reports metrics for the partial run).
+        if run.status != "INTERRUPTED":
+            registry.set_status(run, "FINISHED")
         logger.info("test results: %s", results)
         return results
     except Exception:

@@ -177,6 +177,17 @@ def _pack_alias(
     """Flat per-(node, slot) draw tables. The alias *slot* index is
     resolved to the alias *neighbor id* here, removing a dependent
     gather."""
+    n_total, max_deg = nbr_ids.shape
+    if n_total * max_deg >= 2**31:
+        # The jitted sampler forms flat int32 indices node*max_deg+slot
+        # (sampling/mcn.py _alias_draw); larger tables would silently
+        # gather from wrong rows. Cap max_degree (from_edges) to shrink
+        # the table before hitting this.
+        raise ValueError(
+            f"flat alias table too large for int32 indexing: "
+            f"{n_total} nodes x {max_deg} max_degree >= 2**31; "
+            "pass max_degree to cap the neighbor lists"
+        )
     alias_node = np.take_along_axis(nbr_ids, alias_idx, axis=1)
     return (
         np.ascontiguousarray(nbr_ids.reshape(-1), np.int32),

@@ -7,7 +7,8 @@ ids. Includes the reference's idiosyncratic ideal-DCG normalizer
 ``log.cumsum()[min(#gt, top) - 1]`` (metrics.py:26).
 
 These run on host (numpy) over small eval outputs; the expensive part —
-scoring and top-k — happens on device (see eval/ranking.py).
+batched candidate scoring and top-k — happens on device inside the task
+eval loops (tasks/ncf_task.py, tasks/dcn_task.py).
 """
 from __future__ import annotations
 
@@ -81,7 +82,17 @@ def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
     n_pos = int(labels.sum())
     n_neg = labels.size - n_pos
     if n_pos == 0 or n_neg == 0:
-        raise ValueError("roc_auc needs both positive and negative samples")
+        # Single-class eval batches are possible on tiny HPO splits; the
+        # reference degrades to 0 rather than crashing (its ValueError →
+        # NaN → 0 guard, dcn/trainer.py:200-209). Match that.
+        import logging
+
+        logging.getLogger("pmgt_tpu").warning(
+            "roc_auc: only one class present (%d pos / %d neg); returning 0",
+            n_pos,
+            n_neg,
+        )
+        return 0.0
     order = np.argsort(scores, kind="mergesort")
     sorted_scores = scores[order]
     ranks = np.empty(labels.size, dtype=np.float64)

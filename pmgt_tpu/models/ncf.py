@@ -7,7 +7,7 @@ same way the reference fuses checkpoints (ncf/models.py:88-126).
 
 TPU notes: both towers are embedding gathers + small dense layers — the
 win on TPU comes from scoring users against their full candidate list in
-one batched forward (see eval/ranking.py) instead of the reference's
+one batched forward (tasks/ncf_task.py eval loop) instead of the reference's
 per-user Python loop (ncf/trainer.py:202-219).
 """
 from __future__ import annotations

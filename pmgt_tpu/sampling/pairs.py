@@ -14,8 +14,10 @@ TPU-native differences:
   (datasets.py:186-208).
 - Without-replacement sampling uses random-key top-k over the padded
   neighbor list; rejection sampling draws a fixed number of rounds and
-  takes the first non-neighbor (the miss probability is (deg/N)^rounds,
-  negligible for real graphs).
+  takes the first non-neighbor. Draws that miss in every round (possible
+  on dense graphs / heavy nodes) fall back to an exact uniform draw over
+  the complement set (``uniform_zero_draw``), matching the reference's
+  unbounded-``while`` termination guarantee.
 """
 from __future__ import annotations
 
@@ -26,7 +28,11 @@ import jax.numpy as jnp
 
 from pmgt_tpu.core.config import SamplingConfig
 from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
-from pmgt_tpu.sampling.mcn import sample_context, _scatter_set_rows
+from pmgt_tpu.sampling.mcn import (
+    sample_context,
+    uniform_zero_draw,
+    _scatter_set_rows,
+)
 
 
 class PretrainBatch(NamedTuple):
@@ -69,7 +75,7 @@ def sample_pairs(
     )
     total = cfg.max_total_samples if is_training else 2
 
-    key_pos, key_neg = jax.random.split(key)
+    key_pos, key_neg, key_fb = jax.random.split(key, 3)
 
     # --- positives: uniform without replacement over direct neighbors ---
     t_nbrs = nbr_ids[targets]  # [B, D]
@@ -104,8 +110,18 @@ def sample_pairs(
         member, cand.reshape(batch, -1), axis=1
     ).reshape(batch, total, rounds)
     ok = is_nbr == 0.0
-    first_ok = jnp.argmax(ok, axis=-1)  # [B, total]; 0 if none ok
-    neg_nodes = jnp.take_along_axis(cand, first_ok[..., None], axis=-1)[..., 0]
+    any_ok = jnp.any(ok, axis=-1)  # [B, total]
+    first_ok = jnp.argmax(ok, axis=-1)  # [B, total]
+    neg_rej = jnp.take_along_axis(cand, first_ok[..., None], axis=-1)[..., 0]
+    # Exact fallback for draws where every round hit a neighbor — without
+    # it argmax returns slot 0's candidate, silently emitting a *positive*
+    # as a negative ((deg/N)^rounds per draw; ~18% for deg/N=0.9).
+    u_fb = jax.random.uniform(key_fb, (batch, total))
+    neg_fb, fb_valid = uniform_zero_draw(member, NUM_SPECIAL_NODES, u_fb)
+    neg_nodes = jnp.where(any_ok, neg_rej, neg_fb)
+    # Invalid only when the complement is empty (target adjacent to every
+    # node) — then no correct negative exists and the slot is masked out.
+    neg_ok = (any_ok | fb_valid).astype(jnp.float32)
 
     # --- lay out pos slots first, negatives fill the rest -------------
     slot = jnp.arange(total)[None, :]  # [1, P]
@@ -115,13 +131,14 @@ def sample_pairs(
     labels = is_pos.astype(jnp.float32)
 
     if is_training:
-        # Training always fills all P slots (num_neg tops up to P).
-        pair_valid = jnp.ones((batch, total), jnp.float32)
+        # All P slots are filled (num_neg tops up to P); a neg slot is
+        # invalid only in the degenerate complement-empty case.
+        pair_valid = jnp.where(is_pos, 1.0, neg_ok)
     else:
         # Eval: slot 0 is the positive (invalid if the target is isolated),
-        # slot 1 the negative.
+        # slot 1 the negative (invalid only if the complement is empty).
         pair_valid = jnp.where(
-            (slot == 0) & (num_pos[:, None] == 0), 0.0, 1.0
+            (slot == 0) & (num_pos[:, None] == 0), 0.0, jnp.where(is_pos, 1.0, neg_ok)
         ) * jnp.ones((batch, 1), jnp.float32)
         # Isolated targets get the neg candidate in slot 0 as well, but the
         # mask removes it from every loss/metric.

@@ -371,8 +371,16 @@ class PMGTTask:
         if not self.use_ctx_cache:
             return None
         if self._ctx_cache_tag != tag:
+            # Deterministic per-phase seed: Python's str hash is
+            # PYTHONHASHSEED-randomized, so hash(tag) would make eval
+            # negatives/contexts — and therefore val metrics and best-ckpt
+            # selection — irreproducible across processes.
+            phase_id = {"train": 1, "valid": 2, "test": 3, "inference": 4}[
+                tag[0]
+            ]
+            step = int(tag[1]) if len(tag) > 1 else 0
             seed = np.uint32(
-                self.args.seed * 104_729 + abs(hash(tag)) % 1_000_003
+                self.args.seed * 104_729 + phase_id * 2_000_003 + step
             )
             k_ctx, k_pairs = jax.random.split(jax.random.key(seed))
             ctx_ids, ctx_mask = self._sample_all_fn(self.graph, self._all_nodes, k_ctx)
@@ -393,6 +401,11 @@ class PMGTTask:
         # Refresh the per-epoch context cache (one fresh context per node
         # per epoch — the reference's target-context refresh rate).
         self._get_ctx(("train", epoch))
+
+    def on_resume(self, global_step: int, start_epoch: int) -> None:
+        # Continue the per-step PRNG key stream where the interrupted run
+        # left off instead of replaying its early keys.
+        self._step_count = int(global_step)
 
     def train_batches(self, epoch: int) -> Iterable[Tuple[jnp.ndarray, jax.Array]]:
         bs = self.args.train_batch_size

@@ -153,6 +153,12 @@ def fit(
     mode = criterion_mode(early_criterion)
     swa = SWAAverager() if swa_start is not None else None
 
+    if registry is not None and run is not None:
+        # Clear any stale INTERRUPTED/FAILED status from a previous
+        # process when resuming; the end-of-run status check in the CLI
+        # reads this file to decide whether FINISHED may be written.
+        registry.set_status(run, "RUNNING")
+
     state = task.state
     start_epoch = 0
     best_value: Optional[float] = None
@@ -188,6 +194,12 @@ def fit(
             logger.info(
                 "resumed from %s at epoch %d (step %d)", last, start_epoch, global_step
             )
+            # Let the task fast-forward its per-step PRNG derivation so the
+            # resumed run continues the original key stream instead of
+            # replaying the already-consumed sampling/dropout keys.
+            on_resume = getattr(task, "on_resume", None)
+            if on_resume is not None:
+                on_resume(global_step, start_epoch)
 
     val_metrics: Dict[str, float] = {}
     epoch_runner = getattr(task, "train_epoch", None)
@@ -196,107 +208,109 @@ def fit(
 
     guard = _PreemptionGuard()
     guard.__enter__()
-    for epoch in range(start_epoch, num_epochs):
-        task.on_epoch_start(epoch)
-        epoch_start = time.time()
+    try:
+        for epoch in range(start_epoch, num_epochs):
+            task.on_epoch_start(epoch)
+            epoch_start = time.time()
 
-        if epoch_runner is not None:
-            # Whole-epoch scan: one dispatch, per-step losses come back as
-            # a device array.
-            state, losses = epoch_runner(state, epoch)
-            losses = np.asarray(jax.device_get(losses), dtype=np.float64)
-            n_batches = len(losses)
-            global_step += n_batches
-            train_loss = float(losses[-100:].mean()) if n_batches else float("nan")
-        else:
-            train_losses = []
-            n_batches = 0
-            for batch in task.train_batches(epoch):
-                state, metrics = task.train_step(state, batch)
-                n_batches += 1
-                global_step += 1
-                if "loss" in metrics:
-                    train_losses.append(metrics["loss"])
-                if log_every and n_batches % log_every == 0:
-                    loss_val = float(jax.device_get(metrics.get("loss", np.nan)))
-                    logger.info(
-                        "epoch %d step %d loss %.5f", epoch, global_step, loss_val
+            if epoch_runner is not None:
+                # Whole-epoch scan: one dispatch, per-step losses come back as
+                # a device array.
+                state, losses = epoch_runner(state, epoch)
+                losses = np.asarray(jax.device_get(losses), dtype=np.float64)
+                n_batches = len(losses)
+                global_step += n_batches
+                train_loss = float(losses[-100:].mean()) if n_batches else float("nan")
+            else:
+                train_losses = []
+                n_batches = 0
+                for batch in task.train_batches(epoch):
+                    state, metrics = task.train_step(state, batch)
+                    n_batches += 1
+                    global_step += 1
+                    if "loss" in metrics:
+                        train_losses.append(metrics["loss"])
+                    if log_every and n_batches % log_every == 0:
+                        loss_val = float(jax.device_get(metrics.get("loss", np.nan)))
+                        logger.info(
+                            "epoch %d step %d loss %.5f", epoch, global_step, loss_val
+                        )
+
+                train_loss = (
+                    float(
+                        np.mean([float(jax.device_get(x)) for x in train_losses[-100:]])
                     )
-
-            train_loss = (
-                float(
-                    np.mean([float(jax.device_get(x)) for x in train_losses[-100:]])
+                    if train_losses
+                    else float("nan")
                 )
-                if train_losses
-                else float("nan")
-            )
 
-        val_metrics = task.evaluate(state, "valid")
-        elapsed = time.time() - epoch_start
-        logged = {"loss/train": train_loss, **val_metrics, "epoch_time": elapsed}
-        if registry is not None and run is not None:
-            registry.log_metrics(run, logged, step=global_step, epoch=epoch)
-        logger.info(
-            "epoch %d done in %.1fs: train_loss %.5f %s",
-            epoch,
-            elapsed,
-            train_loss,
-            " ".join(f"{k} {v:.5f}" for k, v in val_metrics.items()),
-        )
-
-        if swa is not None and epoch >= swa_start and hasattr(state, "params"):
-            swa.update(state.params)
-
-        if monitor not in val_metrics:
-            raise KeyError(
-                f"early criterion {monitor!r} not in metrics {sorted(val_metrics)}"
-            )
-        value = val_metrics[monitor]
-        improved = _is_better(value, best_value, mode)
-        if improved:
-            best_value = value
-            patience = 0
-        else:
-            patience += 1
-
-        task.state = state
-        if ckpt_dir is not None:
-            import os
-
-            payload = {
-                "state": state,
-                "meta": {
-                    "epoch": epoch,
-                    "global_step": global_step,
-                    "patience": patience,
-                    "best_value": float(best_value),
-                    "has_best": True,
-                },
-            }
-            save_checkpoint(os.path.join(ckpt_dir, "last"), payload)
-            if improved:
-                save_checkpoint(os.path.join(ckpt_dir, "best"), payload)
-                write_best_info(ckpt_dir, monitor, best_value, epoch)
-
-        if guard.requested:
+            val_metrics = task.evaluate(state, "valid")
+            elapsed = time.time() - epoch_start
+            logged = {"loss/train": train_loss, **val_metrics, "epoch_time": elapsed}
             if registry is not None and run is not None:
-                registry.set_status(run, "INTERRUPTED")
-            logger.warning(
-                "stopping after epoch %d (preemption signal); resume with "
-                "--run-id",
+                registry.log_metrics(run, logged, step=global_step, epoch=epoch)
+            logger.info(
+                "epoch %d done in %.1fs: train_loss %.5f %s",
                 epoch,
+                elapsed,
+                train_loss,
+                " ".join(f"{k} {v:.5f}" for k, v in val_metrics.items()),
             )
-            break
 
-        if task_should_prune(task, value, epoch):
-            logger.info("trial pruned at epoch %d", epoch)
-            break
+            if swa is not None and epoch >= swa_start and hasattr(state, "params"):
+                swa.update(state.params)
 
-        if early and patience >= early:
-            logger.info("early stopping at epoch %d (patience %d)", epoch, early)
-            break
+            if monitor not in val_metrics:
+                raise KeyError(
+                    f"early criterion {monitor!r} not in metrics {sorted(val_metrics)}"
+                )
+            value = val_metrics[monitor]
+            improved = _is_better(value, best_value, mode)
+            if improved:
+                best_value = value
+                patience = 0
+            else:
+                patience += 1
 
-    guard.__exit__()
+            task.state = state
+            if ckpt_dir is not None:
+                import os
+
+                payload = {
+                    "state": state,
+                    "meta": {
+                        "epoch": epoch,
+                        "global_step": global_step,
+                        "patience": patience,
+                        "best_value": float(best_value),
+                        "has_best": True,
+                    },
+                }
+                save_checkpoint(os.path.join(ckpt_dir, "last"), payload)
+                if improved:
+                    save_checkpoint(os.path.join(ckpt_dir, "best"), payload)
+                    write_best_info(ckpt_dir, monitor, best_value, epoch)
+
+            if guard.requested:
+                if registry is not None and run is not None:
+                    registry.set_status(run, "INTERRUPTED")
+                logger.warning(
+                    "stopping after epoch %d (preemption signal); resume with "
+                    "--run-id",
+                    epoch,
+                )
+                break
+
+            if task_should_prune(task, value, epoch):
+                logger.info("trial pruned at epoch %d", epoch)
+                break
+
+            if early and patience >= early:
+                logger.info("early stopping at epoch %d (patience %d)", epoch, early)
+                break
+
+    finally:
+        guard.__exit__()
 
     results = dict(val_metrics)
     results["best"] = float(best_value) if best_value is not None else float("nan")

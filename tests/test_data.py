@@ -231,3 +231,27 @@ def test_preprocess_weight_formula():
     a, b, c = (node_items.tolist().index(x) for x in "ABC")
     assert w[(min(a, b), max(a, b))] == pytest.approx(expected_ab)
     assert w[(min(b, c), max(b, c))] == pytest.approx(expected_bc)
+
+
+def test_ng_sample_fallback_heavy_user():
+    """A user who interacted with all items but one: every negative must be
+    that one item (fixed-round rejection alone misses with prob ~(29/30)^16
+    per draw and would silently emit a positive)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmgt_tpu.data.interactions import InteractionData, ng_sample
+
+    num_items = 30
+    items = np.arange(num_items - 1, dtype=np.int32)  # all but item 29
+    pairs = np.stack([np.zeros_like(items), items], axis=1)
+    data = InteractionData.build(pairs, num_users=1, num_items=num_items)
+
+    users = jnp.asarray(pairs[:, 0])
+    row_index = jnp.asarray(data.user_row_index())
+    pair_rows = jnp.asarray(data.user_pos)[row_index[users]]
+    for seed in range(3):
+        neg = np.asarray(
+            ng_sample(users, pair_rows, jax.random.key(seed), 4, num_items)
+        )
+        assert (neg == num_items - 1).all(), np.unique(neg)

@@ -134,3 +134,50 @@ def test_save_checkpoint_overwrites(tmp_path):
     save_checkpoint(p, {"a": jnp.asarray([3.0, 4.0])})
     out = restore_checkpoint(p)
     np.testing.assert_allclose(np.asarray(out["a"]), [3.0, 4.0])
+
+
+def test_resume_invokes_on_resume_hook(tmp_path):
+    """Resume must fast-forward the task's per-step PRNG derivation."""
+    registry = RunRegistry(str(tmp_path / "logs"))
+    run = registry.create_run("exp", {"p": 1})
+
+    task = FakeTask([0.5, 0.8])
+    engine.fit(
+        task, num_epochs=2, early=5, early_criterion="auc",
+        registry=registry, run=run, log_every=0,
+    )
+
+    class ResumableTask(FakeTask):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.resumed_at = None
+
+        def on_resume(self, global_step, start_epoch):
+            self.resumed_at = (global_step, start_epoch)
+
+    task2 = ResumableTask([0.9])
+    engine.fit(
+        task2, num_epochs=4, early=5, early_criterion="auc",
+        registry=registry, run=run, resume=True, log_every=0,
+    )
+    # 2 epochs x 1 step were completed before the resume point
+    assert task2.resumed_at == (2, 2)
+
+
+def test_guard_restores_signal_handlers_on_exception():
+    """An exception inside the epoch loop must not leave the preemption
+    guard's handlers installed (they would swallow the next Ctrl-C)."""
+    import signal
+
+    before = signal.getsignal(signal.SIGINT)
+
+    class BrokenTask(FakeTask):
+        def evaluate(self, state, split):
+            return {"val/other": 1.0}  # missing the monitored metric
+
+    with pytest.raises(KeyError):
+        engine.fit(
+            BrokenTask([0.5]), num_epochs=1, early=1,
+            early_criterion="auc", log_every=0,
+        )
+    assert signal.getsignal(signal.SIGINT) is before

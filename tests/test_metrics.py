@@ -108,3 +108,10 @@ def test_stable_sigmoid_no_overflow():
     assert s[0] == pytest.approx(0.0)
     assert s[2] == pytest.approx(0.5)
     assert s[4] == pytest.approx(1.0)
+
+
+def test_roc_auc_single_class_degrades_to_zero():
+    """Single-class batches (tiny HPO splits) must not crash — the
+    reference's NaN->0 guard (dcn/trainer.py:200-209) degrades to 0."""
+    assert roc_auc(np.ones(4), np.linspace(0, 1, 4)) == 0.0
+    assert roc_auc(np.zeros(4), np.linspace(0, 1, 4)) == 0.0

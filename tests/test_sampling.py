@@ -157,3 +157,45 @@ def test_score_ordering_prefers_close_frequent_nodes():
     first_ctx = np.asarray(ids)[:, 1]
     # node 1 (row 3) must be the top-scored context nearly always
     assert (first_ctx == 3).mean() > 0.9
+
+
+def test_uniform_zero_draw_exact_complement():
+    from pmgt_tpu.sampling.mcn import uniform_zero_draw
+
+    member = np.ones((2, 10), np.float32)
+    member[0, [3, 7]] = 0.0  # complement of row 0: {3, 7}
+    member[1, :] = 1.0  # row 1: empty complement
+    u = jax.random.uniform(jax.random.key(0), (2, 400))
+    ids, valid = jax.jit(uniform_zero_draw, static_argnums=1)(
+        jnp.asarray(member), 2, u
+    )
+    ids, valid = np.asarray(ids), np.asarray(valid)
+    assert set(ids[0]) == {3, 7}
+    assert valid[0].all()
+    # roughly uniform between the two legal values
+    frac = (ids[0] == 3).mean()
+    assert 0.35 < frac < 0.65
+    assert not valid[1].any()
+
+
+def test_rejection_fallback_on_dense_graph():
+    """A target adjacent to almost every node: fixed-round rejection often
+    misses, and the fallback must still return a true non-neighbor
+    (previously argmax returned slot 0's candidate — possibly a positive)."""
+    from pmgt_tpu.graph.container import NUM_SPECIAL_NODES
+
+    n = 40
+    # node 0 adjacent to every node except node 1
+    edges = [(0, v, 1.0) for v in range(2, n)] + [(1, 2, 1.0)]
+    g = from_edges(n, edges)
+    cfg = SamplingConfig()
+    target_id = 0 + NUM_SPECIAL_NODES
+    targets = jnp.full((64,), target_id, jnp.int32)
+    fn = jax.jit(lambda g, t, k: sample_pairs(g, t, k, cfg, True))
+    legal = {target_id, 1 + NUM_SPECIAL_NODES}  # itself + the non-neighbor
+    for seed in range(4):
+        nodes, labels, valid = fn(g, targets, jax.random.key(seed))
+        nodes, labels, valid = map(np.asarray, (nodes, labels, valid))
+        assert valid.all()
+        negs = nodes[labels == 0.0]
+        assert set(negs.tolist()) <= legal, set(negs.tolist()) - legal
