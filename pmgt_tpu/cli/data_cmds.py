@@ -61,7 +61,15 @@ def make_synthetic(
 @click.option("--test-size", type=click.FLOAT, default=0.2)
 @click.option("--seed", type=click.INT, default=0)
 @click.option("--extract-features/--no-extract-features", default=False,
-              help="run Inception-v4/BERT feature extraction (needs timm weights)")
+              help="run Inception-v4/BERT feature extraction in-process "
+              "(graceful per-modality fallback when weights are unavailable)")
+@click.option("--text-model", type=click.STRING, default="bert-base-uncased",
+              help="HF model name or local path for textual features")
+@click.option("--image-model", type=click.STRING, default="inception_v4",
+              help="timm model name for visual features")
+@click.option("--feature-device", type=click.STRING, default="cpu")
+@click.option("--download", is_flag=True, default=False,
+              help="download the Amazon 5-core dump when reviews are absent")
 def preprocess(
     raw_dir,
     out_dir,
@@ -71,6 +79,10 @@ def preprocess(
     test_size,
     seed,
     extract_features,
+    text_model,
+    image_model,
+    feature_device,
+    download,
 ):
     """Offline preprocessing: reviews → item graph + splits + features
     (replaces the reference notebook pipeline, SURVEY.md §3.5)."""
@@ -85,4 +97,31 @@ def preprocess(
         test_size=test_size,
         seed=seed,
         extract_features=extract_features,
+        text_model=text_model,
+        image_model=image_model,
+        feature_device=feature_device,
+        download=download,
+    )
+
+
+@cli.command(context_settings={"show_default": True}, name="scrape-images")
+@click.option("--meta-path", type=click.Path(exists=True), required=True,
+              help="metadata dump (one JSON per line) with asin + image urls")
+@click.option("--image-dir", type=click.Path(), required=True)
+@click.option("--max-workers", type=click.INT, default=8)
+@click.option("--max-retries", type=click.INT, default=4)
+@click.option("--backoff", type=click.FLOAT, default=0.5)
+def scrape_images_cmd(meta_path, image_dir, max_workers, max_retries, backoff):
+    """Parallel product-image download with exponential backoff
+    (reference notebook cell 12)."""
+    from pmgt_tpu.data.ingest import load_image_urls, scrape_images
+
+    urls = load_image_urls(meta_path)
+    logger.info("found image urls for %d items", len(urls))
+    scrape_images(
+        urls,
+        image_dir,
+        max_workers=max_workers,
+        max_retries=max_retries,
+        backoff=backoff,
     )
