@@ -52,9 +52,13 @@ def build_workload(seed: int = 0):
     )
 
 
-def measure_tpu(art, batch_size: int, attention_impl=None) -> dict:
+def measure_tpu(
+    art, batch_size: int, attention_impl=None, ctx_cache: bool = True
+) -> dict:
     """Sustained training throughput: full epochs including the per-epoch
-    context/pair cache refresh (nothing amortized away)."""
+    context/pair cache refresh (nothing amortized away). With
+    ``ctx_cache=False`` every batch samples fresh contexts in-step — the
+    reference's exact per-occurrence semantics."""
     import jax
 
     from pmgt_tpu.core.config import TrainArgs
@@ -75,6 +79,7 @@ def measure_tpu(art, batch_size: int, attention_impl=None) -> dict:
             intermediate_size=128,
             num_hidden_layers=5,
             num_attention_heads=1,
+            ctx_cache=ctx_cache,
             **({"attention_impl": attention_impl} if attention_impl else {}),
         ),
     )
@@ -82,11 +87,17 @@ def measure_tpu(art, batch_size: int, attention_impl=None) -> dict:
     task = PMGTTask(args, art, nodes, nodes[: batch_size])
 
     def run_epoch(epoch):
+        """Returns (n_steps, metrics, refresh_seconds, scan_seconds)."""
+        t0 = time.time()
         task.on_epoch_start(epoch)
+        if task.use_ctx_cache and task._ctx_cache is not None:
+            jax.block_until_ready(task._ctx_cache[:2])
+        t1 = time.time()
         state, losses = task.train_epoch(task.state, epoch)
         jax.block_until_ready(losses)
+        t2 = time.time()
         task.state = state
-        return len(losses), {"loss": losses[-1]}
+        return len(losses), {"loss": losses[-1]}, t1 - t0, t2 - t1
 
     # warmup epoch (includes all compiles)
     t0 = time.time()
@@ -96,44 +107,100 @@ def measure_tpu(art, batch_size: int, attention_impl=None) -> dict:
     # Per-epoch timing with a median: the benchmark chip may be
     # pool-shared, and the median is robust to contention spikes.
     n_epochs = 5
-    rates = []
+    rates, refreshes, scans = [], [], []
     for e in range(1, 1 + n_epochs):
-        t0 = time.time()
-        n, metrics = run_epoch(e)
-        rates.append(batch_size * n / (time.time() - t0))
-    rates.sort()
-    nodes_per_sec = rates[len(rates) // 2]
+        n, metrics, refresh_s, scan_s = run_epoch(e)
+        rates.append(batch_size * n / (refresh_s + scan_s))
+        refreshes.append(refresh_s)
+        scans.append(scan_s)
+    order = np.argsort(rates)
+    mid = order[len(order) // 2]
+    nodes_per_sec = rates[mid]
+    n_steps = n
     return {
         "nodes_per_sec": nodes_per_sec,
-        "nodes_per_sec_all_epochs": [round(r) for r in rates],
+        "nodes_per_sec_all_epochs": [round(r) for r in sorted(rates)],
         "compile_plus_warmup_s": compile_time,
         "n_devices": task.mesh.size,
         "loss": float(jax.device_get(metrics["loss"])),
+        # step-time decomposition (median epoch): per-epoch cache refresh
+        # (sampling) vs the fwd/bwd/update scan
+        "refresh_ms_per_epoch": round(refreshes[mid] * 1e3, 2),
+        "scan_ms_per_step": round(scans[mid] * 1e3 / max(n_steps, 1), 3),
+        "steps_per_epoch": n_steps,
     }
 
 
-def measure_baseline(art) -> float:
-    """Reference-equivalent torch pipeline, cached across rounds."""
+def measure_sampler_only_baseline(art, n_targets: int = 48) -> float:
+    """Host sampling rate of the reference pipeline with NO model at all:
+    per target, one context + ~10 pair contexts + rejection negatives
+    (reference datasets.py:113-183). Because this work runs in Python on
+    the host in the reference regardless of the training GPU, it is a
+    GPU-independent CEILING on the reference's end-to-end rate — no GPU
+    makes the reference faster than this."""
+    from pmgt_tpu.bench.torch_reference import HostGraph, sample_context_host
+
+    graph = HostGraph(
+        np.asarray(art.graph.nbr_ids),
+        np.asarray(art.graph.nbr_logits),
+        np.asarray(art.graph.degrees),
+    )
+    node_ids = np.arange(2, graph.num_nodes + 2)
+    np.random.seed(0)
+    targets = np.random.choice(node_ids, size=n_targets, replace=False)
+    hops = [16, 8, 4]
+    t0 = time.time()
+    for t in targets:
+        sample_context_host(graph, int(t), hops, 5)
+        nbrs, _ = graph.adj[int(t)]
+        n_pos = min(5, len(nbrs))
+        pos = np.random.choice(nbrs, n_pos, replace=False) if n_pos else []
+        n_neg = max(5, 10 - n_pos)
+        negs = []
+        nbr_set = set(nbrs.tolist())
+        while len(negs) < n_neg:
+            cand = np.random.randint(graph.num_nodes) + 2
+            if cand not in nbr_set:
+                negs.append(cand)
+        for p in list(pos) + negs:
+            sample_context_host(graph, int(p), hops, 5)
+    return n_targets / (time.time() - t0)
+
+
+def measure_baseline(art) -> dict:
+    """Reference-equivalent torch pipeline + sampler-only ceiling,
+    cached across rounds."""
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE, encoding="utf-8") as f:
-            return json.load(f)["nodes_per_sec"]
+            cached = json.load(f)
+        if "sampler_only_nodes_per_sec" in cached:
+            return cached
     from pmgt_tpu.bench.torch_reference import run_reference_baseline
 
+    graph3 = (
+        np.asarray(art.graph.nbr_ids),
+        np.asarray(art.graph.nbr_logits),
+        np.asarray(art.graph.degrees),
+    )
     nodes_per_sec = run_reference_baseline(
-        tuple(np.asarray(a) for a in art.graph),
+        graph3,
         [np.asarray(t) for t in art.feat_init_embs],
         batch_size=32,
         num_batches=3,
     )
+    sampler_only = measure_sampler_only_baseline(art)
+    cached = {
+        "nodes_per_sec": nodes_per_sec,
+        "sampler_only_nodes_per_sec": sampler_only,
+        "note": (
+            "reference-equivalent torch pipeline on host CPU; "
+            "sampler_only is the GPU-independent ceiling (host Python "
+            "sampling with no model)"
+        ),
+    }
     with open(BASELINE_CACHE, "w", encoding="utf-8") as f:
-        json.dump(
-            {
-                "nodes_per_sec": nodes_per_sec,
-                "note": "reference-equivalent torch pipeline on host CPU",
-            },
-            f,
-        )
-    return nodes_per_sec
+        json.dump(cached, f)
+    return cached
 
 
 def main():
@@ -142,6 +209,11 @@ def main():
     parser.add_argument("--attention-impl", default=None,
                         help="xla | pallas (default: pallas on TPU, xla elsewhere)")
     parser.add_argument("--skip-baseline", action="store_true")
+    parser.add_argument("--skip-exact", action="store_true",
+                        help="skip the --no-ctx-cache (exact reference "
+                        "semantics) measurement")
+    parser.add_argument("--no-ctx-cache", action="store_true",
+                        help="measure ONLY exact per-occurrence sampling")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -149,9 +221,24 @@ def main():
 
     import jax
 
-    result = measure_tpu(art, args.batch_size, args.attention_impl)
+    result = measure_tpu(
+        art, args.batch_size, args.attention_impl,
+        ctx_cache=not args.no_ctx_cache,
+    )
     if args.verbose:
         print("tpu:", result, file=sys.stderr)
+
+    exact_per_chip = None
+    if not (args.skip_exact or args.no_ctx_cache):
+        try:
+            exact = measure_tpu(
+                art, args.batch_size, args.attention_impl, ctx_cache=False
+            )
+            exact_per_chip = exact["nodes_per_sec"] / exact["n_devices"]
+            if args.verbose:
+                print("tpu exact-mode:", exact, file=sys.stderr)
+        except Exception as e:
+            print(f"exact-mode measurement failed: {e}", file=sys.stderr)
 
     if args.skip_baseline:
         baseline = None
@@ -159,23 +246,33 @@ def main():
         try:
             baseline = measure_baseline(art)
             if args.verbose:
-                print("baseline nodes/sec:", baseline, file=sys.stderr)
+                print("baseline:", baseline, file=sys.stderr)
         except Exception as e:  # baseline failure must not kill the bench
             print(f"baseline measurement failed: {e}", file=sys.stderr)
             baseline = None
 
     per_chip = result["nodes_per_sec"] / result["n_devices"]
-    vs = per_chip / baseline if baseline else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "pmgt_pretrain_nodes_per_sec_per_chip",
-                "value": round(per_chip, 2),
-                "unit": "nodes/sec/chip",
-                "vs_baseline": round(vs, 2),
-            }
+    vs = per_chip / baseline["nodes_per_sec"] if baseline else 1.0
+    out = {
+        "metric": "pmgt_pretrain_nodes_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "nodes/sec/chip",
+        "vs_baseline": round(vs, 2),
+        # decomposition: per-epoch sampling refresh vs fwd/bwd scan
+        "refresh_ms_per_epoch": result["refresh_ms_per_epoch"],
+        "scan_ms_per_step": result["scan_ms_per_step"],
+    }
+    if exact_per_chip is not None:
+        out["exact_mode_nodes_per_sec_per_chip"] = round(exact_per_chip, 2)
+    if baseline:
+        # GPU-independent ceiling: the reference's host-side sampling alone
+        out["baseline_sampler_only_ceiling"] = round(
+            baseline["sampler_only_nodes_per_sec"], 2
         )
-    )
+        out["vs_sampler_only_ceiling"] = round(
+            per_chip / baseline["sampler_only_nodes_per_sec"], 2
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

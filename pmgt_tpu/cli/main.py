@@ -102,6 +102,11 @@ _common_options = [
     click.option("--log-dir", type=click.Path(), default="./logs"),
     click.option("--run-script", type=click.Path(exists=True), default=None),
     click.option("--num-devices", type=click.INT, default=None, help="TPU devices to use (default: all)"),
+    click.option("--coordinator-address", type=click.STRING, default=None,
+                 help="multi-host: jax.distributed coordinator host:port "
+                 "(or set JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID)"),
+    click.option("--num-processes", type=click.INT, default=None, help="multi-host: total process count"),
+    click.option("--process-id", type=click.INT, default=None, help="multi-host: this process's index"),
     click.option("--profile-dir", type=click.Path(), default=None, help="jax.profiler trace output dir"),
     click.option("--swa-start", type=click.INT, default=None, help="enable Stochastic Weight Averaging from this epoch"),
 ]
@@ -149,6 +154,16 @@ def add_options(options):
 
 def _make_args(raw: Dict) -> TrainArgs:
     raw.pop("num_workers", None)  # host loader workers: meaningless here
+    # Multi-host bring-up happens once, before any backend is touched
+    # (jax.devices() in the task's make_mesh would otherwise initialize
+    # single-process). No-op without a coordinator address.
+    from pmgt_tpu.core.mesh import initialize_distributed
+
+    initialize_distributed(
+        raw.pop("coordinator_address", None),
+        raw.pop("num_processes", None),
+        raw.pop("process_id", None),
+    )
     base = {k: v for k, v in raw.items() if k in _COMMON_KEYS}
     extra = {k: v for k, v in raw.items() if k not in _COMMON_KEYS}
     base["tags"] = tuple(tuple(t) for t in base.get("tags", ()))

@@ -27,6 +27,7 @@ from pmgt_tpu.data.interactions import (
 from pmgt_tpu.metrics.ranking import roc_auc, stable_sigmoid
 from pmgt_tpu.models.dcn import DCN
 from pmgt_tpu.models.ncf import inject_item_embeddings
+from pmgt_tpu.core.mesh import gather_to_host, put_along_data_axis, replicate_host
 from pmgt_tpu.tasks.interaction_base import InteractionTaskBase, TrainState
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
@@ -90,7 +91,7 @@ class DCNTask(InteractionTaskBase):
         bs = self.args.test_batch_size
         probs = []
         losses = []
-        rep_params = jax.device_put(params, self._replicated)
+        rep_params = replicate_host(self.mesh, params)
         for i in range(0, len(users), bs):
             sl = slice(i, i + bs)
             u, it, lb = users[sl], items[sl], labels[sl]
@@ -98,11 +99,11 @@ class DCNTask(InteractionTaskBase):
             if pad:
                 u = np.concatenate([u, np.zeros(pad, u.dtype)])
                 it = np.concatenate([it, np.zeros(pad, it.dtype)])
-            logits = np.asarray(
+            logits = gather_to_host(
                 self._score_fn(
                     rep_params,
-                    jax.device_put(u.astype(np.int32), self._batch_sharding),
-                    jax.device_put(it.astype(np.int32), self._batch_sharding),
+                    put_along_data_axis(self.mesh, u.astype(np.int32)),
+                    put_along_data_axis(self.mesh, it.astype(np.int32)),
                 )
             )[: len(labels[sl])]
             bce = np.maximum(logits, 0) - logits * lb + np.log1p(

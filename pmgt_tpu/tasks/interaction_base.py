@@ -17,7 +17,13 @@ import numpy as np
 import optax
 
 from pmgt_tpu.core.config import TrainArgs
-from pmgt_tpu.core.mesh import batch_sharding, make_mesh, replicated
+from pmgt_tpu.core.mesh import (
+    batch_sharding,
+    make_mesh,
+    put_along_data_axis,
+    replicate_host,
+    replicated,
+)
 from pmgt_tpu.data.interactions import InteractionData, epoch_training_arrays
 from pmgt_tpu.models.pmgt import bce_with_logits
 from pmgt_tpu.train.optim import make_optimizer
@@ -63,7 +69,7 @@ class InteractionTaskBase:
     def finish_init(self, params) -> None:
         """Call after the subclass created the model and params."""
         args = self.args
-        params = jax.device_put(params, self._replicated)
+        params = replicate_host(self.mesh, params)
         m = len(self.train_data.pairs) * (1 + self.num_ng)
         steps_per_epoch = max(m // args.train_batch_size, 1)
         freeze = (
@@ -84,7 +90,7 @@ class InteractionTaskBase:
             frozen_names=(freeze,) if freeze else (),
         )
         self.state = TrainState(
-            params, jax.device_put(self.tx.init(params), self._replicated)
+            params, replicate_host(self.mesh, self.tx.init(params))
         )
         self._train_step_fn = jax.jit(
             partial(
@@ -190,9 +196,9 @@ class InteractionTaskBase:
         for i in range(n_full):
             sl = slice(i * bs, (i + 1) * bs)
             yield (
-                jax.device_put(users[sl].astype(np.int32), self._batch_sharding),
-                jax.device_put(items[sl].astype(np.int32), self._batch_sharding),
-                jax.device_put(labels[sl], self._batch_sharding),
+                put_along_data_axis(self.mesh, users[sl].astype(np.int32)),
+                put_along_data_axis(self.mesh, items[sl].astype(np.int32)),
+                put_along_data_axis(self.mesh, labels[sl]),
                 jax.random.key(np.uint32(self.args.seed * 13 + epoch * 100_003 + i)),
             )
 
@@ -202,8 +208,6 @@ class InteractionTaskBase:
 
     def train_epoch(self, state, epoch: int):
         """Engine fast path: one lax.scan dispatch per epoch."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         if self._epoch_arrays is None:
             self.on_epoch_start(epoch)
         users, items, labels = self._epoch_arrays
@@ -211,16 +215,15 @@ class InteractionTaskBase:
         n_full = len(users) // bs
         if n_full == 0:
             return state, np.zeros((0,), np.float32)
-        sharding = NamedSharding(self.mesh, P(None, "data"))
         cut = n_full * bs
-        users_all = jax.device_put(
-            users[:cut].astype(np.int32).reshape(n_full, bs), sharding
+        users_all = put_along_data_axis(
+            self.mesh, users[:cut].astype(np.int32).reshape(n_full, bs), axis=1
         )
-        items_all = jax.device_put(
-            items[:cut].astype(np.int32).reshape(n_full, bs), sharding
+        items_all = put_along_data_axis(
+            self.mesh, items[:cut].astype(np.int32).reshape(n_full, bs), axis=1
         )
-        labels_all = jax.device_put(
-            labels[:cut].astype(np.float32).reshape(n_full, bs), sharding
+        labels_all = put_along_data_axis(
+            self.mesh, labels[:cut].astype(np.float32).reshape(n_full, bs), axis=1
         )
         base = jax.random.key(np.uint32(self.args.seed * 13 + epoch * 100_003))
         keys = jax.random.split(base, n_full)

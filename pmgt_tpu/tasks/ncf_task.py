@@ -28,6 +28,7 @@ from pmgt_tpu.data.interactions import (
 )
 from pmgt_tpu.metrics.ranking import get_ndcg, get_recall
 from pmgt_tpu.models.ncf import NCF, fuse_neumf_params, inject_item_embeddings
+from pmgt_tpu.core.mesh import gather_to_host, put_along_data_axis, replicate_host
 from pmgt_tpu.tasks.interaction_base import InteractionTaskBase, TrainState
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
@@ -144,14 +145,14 @@ class NCFTask(InteractionTaskBase):
             else:
                 c, m = candidates[sl], cand_mask[sl]
             top_items, logits = self._rank_fn(
-                jax.device_put(params, self._replicated),
-                jax.device_put(u, self._batch_sharding),
-                jax.device_put(c, self._batch_sharding),
-                jax.device_put(m, self._batch_sharding),
+                replicate_host(self.mesh, params),
+                put_along_data_axis(self.mesh, u),
+                put_along_data_axis(self.mesh, c),
+                put_along_data_axis(self.mesh, m),
             )
             n = len(users[sl])
-            preds.append(np.asarray(top_items)[:n])
-            lg = np.asarray(logits)[:n]
+            preds.append(gather_to_host(top_items)[:n])
+            lg = gather_to_host(logits)[:n]
             lb = labels[sl]
             mk = cand_mask[sl]
             bce = np.maximum(lg, 0) - lg * lb + np.log1p(np.exp(-np.abs(lg)))

@@ -23,7 +23,14 @@ import numpy as np
 import optax
 
 from pmgt_tpu.core.config import PMGTConfig, SamplingConfig, TrainArgs
-from pmgt_tpu.core.mesh import batch_sharding, make_mesh, replicated
+from pmgt_tpu.core.mesh import (
+    batch_sharding,
+    gather_to_host,
+    make_mesh,
+    put_along_data_axis,
+    replicate_host,
+    replicated,
+)
 from pmgt_tpu.data.artifacts import load_artifacts
 from pmgt_tpu.data.interactions import (
     InteractionData,
@@ -127,14 +134,14 @@ class PMGTNCFTask:
             model=args.model_name,
         )
 
-        rep = self._replicated
         self.graph = PaddedGraph(
-            *(jax.device_put(np.asarray(a), rep) for a in artifacts.graph)
+            *(replicate_host(self.mesh, np.asarray(a)) for a in artifacts.graph)
         )
         self.feat_tables = [
-            jax.device_put(np.asarray(t), rep) for t in artifacts.feat_init_embs
+            replicate_host(self.mesh, np.asarray(t))
+            for t in artifacts.feat_init_embs
         ]
-        self.item_to_node = jax.device_put(_item_to_node_map(artifacts), rep)
+        self.item_to_node = replicate_host(self.mesh, _item_to_node_map(artifacts))
 
         s = self.sampling.seq_len
         params = jax.jit(
@@ -146,7 +153,7 @@ class PMGTNCFTask:
             jnp.zeros((2, s), jnp.int32),
             jnp.ones((2, s), jnp.float32),
         )["params"]
-        params = jax.device_put(params, rep)
+        params = replicate_host(self.mesh, params)
 
         from pmgt_tpu.train.optim import make_optimizer
 
@@ -162,11 +169,13 @@ class PMGTNCFTask:
             warmup_ratio=args.scheduler_warmup,
             gradient_max_norm=args.gradient_max_norm,
         )
-        self.state = TrainState(params, jax.device_put(self.tx.init(params), rep))
+        self.state = TrainState(
+            params, replicate_host(self.mesh, self.tx.init(params))
+        )
 
         n_total = self.graph.nbr_ids.shape[0]
-        self._all_nodes = jax.device_put(
-            np.arange(n_total, dtype=np.int32), self._replicated
+        self._all_nodes = replicate_host(
+            self.mesh, np.arange(n_total, dtype=np.int32)
         )
         self._sample_all_fn = jax.jit(
             lambda graph, nodes, key: sample_all_contexts(
@@ -259,9 +268,9 @@ class PMGTNCFTask:
         for i in range(len(users) // bs):
             sl = slice(i * bs, (i + 1) * bs)
             yield (
-                jax.device_put(users[sl].astype(np.int32), self._batch_sharding),
-                jax.device_put(items[sl].astype(np.int32), self._batch_sharding),
-                jax.device_put(labels[sl], self._batch_sharding),
+                put_along_data_axis(self.mesh, users[sl].astype(np.int32)),
+                put_along_data_axis(self.mesh, items[sl].astype(np.int32)),
+                put_along_data_axis(self.mesh, labels[sl]),
                 jax.random.key(
                     np.uint32(self.args.seed * 13 + epoch * 100_003 + i)
                 ),
@@ -277,8 +286,6 @@ class PMGTNCFTask:
 
     def train_epoch(self, state, epoch: int):
         """Engine fast path: one lax.scan dispatch per epoch."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         if self._epoch_arrays is None or self._ctx_cache is None:
             self.on_epoch_start(epoch)
         users, items, labels = self._epoch_arrays
@@ -286,16 +293,15 @@ class PMGTNCFTask:
         n_full = len(users) // bs
         if n_full == 0:
             return state, np.zeros((0,), np.float32)
-        sharding = NamedSharding(self.mesh, P(None, "data"))
         cut = n_full * bs
-        users_all = jax.device_put(
-            users[:cut].astype(np.int32).reshape(n_full, bs), sharding
+        users_all = put_along_data_axis(
+            self.mesh, users[:cut].astype(np.int32).reshape(n_full, bs), axis=1
         )
-        items_all = jax.device_put(
-            items[:cut].astype(np.int32).reshape(n_full, bs), sharding
+        items_all = put_along_data_axis(
+            self.mesh, items[:cut].astype(np.int32).reshape(n_full, bs), axis=1
         )
-        labels_all = jax.device_put(
-            labels[:cut].astype(np.float32).reshape(n_full, bs), sharding
+        labels_all = put_along_data_axis(
+            self.mesh, labels[:cut].astype(np.float32).reshape(n_full, bs), axis=1
         )
         base = jax.random.key(np.uint32(self.args.seed * 13 + epoch * 100_003))
         keys = jax.random.split(base, n_full)
@@ -315,7 +321,7 @@ class PMGTNCFTask:
         )
         bs = max(self.args.test_batch_size // 64, self.mesh.size)
         preds, losses = [], []
-        rep_params = jax.device_put(params, self._replicated)
+        rep_params = replicate_host(self.mesh, params)
         for i in range(0, len(users), bs):
             sl = slice(i, i + bs)
             u = users[sl]
@@ -332,14 +338,14 @@ class PMGTNCFTask:
                 c, m = candidates[sl], cand_mask[sl]
             top_items, logits = self._rank_fn(
                 rep_params,
-                jax.device_put(u, self._batch_sharding),
-                jax.device_put(c, self._batch_sharding),
-                jax.device_put(m, self._batch_sharding),
+                put_along_data_axis(self.mesh, u),
+                put_along_data_axis(self.mesh, c),
+                put_along_data_axis(self.mesh, m),
                 ctx,
             )
             n = len(users[sl])
-            preds.append(np.asarray(top_items)[:n])
-            lg = np.asarray(logits)[:n]
+            preds.append(gather_to_host(top_items)[:n])
+            lg = gather_to_host(logits)[:n]
             lb, mk = labels[sl], cand_mask[sl]
             bce = np.maximum(lg, 0) - lg * lb + np.log1p(np.exp(-np.abs(lg)))
             losses.append((bce * mk).sum() / np.maximum(mk.sum(), 1))

@@ -24,7 +24,14 @@ import numpy as np
 import optax
 
 from pmgt_tpu.core.config import PMGTConfig, SamplingConfig, TrainArgs
-from pmgt_tpu.core.mesh import batch_sharding, make_mesh, replicated
+from pmgt_tpu.core.mesh import (
+    batch_sharding,
+    gather_to_host,
+    make_mesh,
+    put_along_data_axis,
+    replicate_host,
+    replicated,
+)
 from pmgt_tpu.data.artifacts import DatasetArtifacts, load_artifacts
 from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
 from pmgt_tpu.metrics.ranking import roc_auc, stable_sigmoid
@@ -130,12 +137,12 @@ class PMGTTask:
         )
 
         # Device placement: graph + frozen feature tables replicated.
-        rep = replicated(self.mesh)
         self.graph = PaddedGraph(
-            *(jax.device_put(np.asarray(a), rep) for a in artifacts.graph)
+            *(replicate_host(self.mesh, np.asarray(a)) for a in artifacts.graph)
         )
         self.feat_tables = [
-            jax.device_put(np.asarray(t), rep) for t in artifacts.feat_init_embs
+            replicate_host(self.mesh, np.asarray(t))
+            for t in artifacts.feat_init_embs
         ]
 
         # Parameters + optimizer.
@@ -160,7 +167,7 @@ class PMGTTask:
         variables = jax.jit(
             partial(self.model.init, deterministic=False)
         )(init_rngs, self.feat_tables, dummy_batch)
-        params = jax.device_put(variables["params"], rep)
+        params = replicate_host(self.mesh, variables["params"])
 
         steps_per_epoch = max(
             len(self.train_nodes) // args.train_batch_size, 1
@@ -175,7 +182,9 @@ class PMGTTask:
             warmup_ratio=args.scheduler_warmup,
             gradient_max_norm=args.gradient_max_norm,
         )
-        self.state = TrainState(params, jax.device_put(self.tx.init(params), rep))
+        self.state = TrainState(
+            params, replicate_host(self.mesh, self.tx.init(params))
+        )
 
         self._batch_sharding = batch_sharding(self.mesh)
         # Per-epoch context cache (see sample_all_contexts). Default on:
@@ -187,8 +196,8 @@ class PMGTTask:
         # Graph arrays are jit ARGUMENTS, not captured constants: TPU
         # dynamic gather only hits its fast path on unmodified program
         # parameters (captured operands measured ~1000x slower).
-        self._all_nodes = jax.device_put(
-            np.arange(n_total, dtype=np.int32), replicated(self.mesh)
+        self._all_nodes = replicate_host(
+            self.mesh, np.arange(n_total, dtype=np.int32)
         )
         self._sample_all_fn = jax.jit(
             lambda graph, nodes, key: sample_all_contexts(
@@ -317,11 +326,8 @@ class PMGTTask:
         n_full = len(ids) // bs
         if n_full == 0:
             return state, np.zeros((0,), np.float32)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        targets_all = jax.device_put(
-            ids[: n_full * bs].reshape(n_full, bs),
-            NamedSharding(self.mesh, P(None, "data")),
+        targets_all = put_along_data_axis(
+            self.mesh, ids[: n_full * bs].reshape(n_full, bs), axis=1
         )
         base = jax.random.key(
             np.uint32(self.args.seed * 7_919 + self._step_count + 1)
@@ -415,7 +421,7 @@ class PMGTTask:
         n_full = len(ids) // bs
         for i in range(n_full):
             chunk = ids[i * bs : (i + 1) * bs]
-            targets = jax.device_put(chunk, self._batch_sharding)
+            targets = put_along_data_axis(self.mesh, chunk)
             self._step_count += 1
             key = jax.random.key(
                 np.uint32(self.args.seed * 7_919 + self._step_count)
@@ -447,15 +453,15 @@ class PMGTTask:
             padded = np.concatenate(
                 [chunk, np.full(pad, NUM_SPECIAL_NODES, np.int32)]
             )
-            targets = jax.device_put(padded, self._batch_sharding)
-            sv = jax.device_put(sample_valid, self._batch_sharding)
+            targets = put_along_data_axis(self.mesh, padded)
+            sv = put_along_data_axis(self.mesh, sample_valid)
             key = jax.random.key(np.uint32(self.args.seed * 31 + i + 1))
             logits, labels, pair_valid = self._eval_step_fn(
                 params, targets, sv, key, ctx
             )
-            logits_all.append(np.asarray(logits))
-            labels_all.append(np.asarray(labels))
-            valid_all.append(np.asarray(pair_valid))
+            logits_all.append(gather_to_host(logits))
+            labels_all.append(gather_to_host(labels))
+            valid_all.append(gather_to_host(pair_valid))
 
         logits = np.concatenate(logits_all).ravel()
         labels = np.concatenate(labels_all).ravel()
@@ -494,9 +500,9 @@ class PMGTTask:
             padded = np.concatenate(
                 [chunk, np.full(pad, NUM_SPECIAL_NODES, np.int32)]
             )
-            targets = jax.device_put(padded, self._batch_sharding)
+            targets = put_along_data_axis(self.mesh, padded)
             key = jax.random.key(np.uint32(self.args.seed * 13 + i + 7))
-            cls = np.asarray(self._encode_fn(params, targets, key, ctx))
+            cls = gather_to_host(self._encode_fn(params, targets, key, ctx))
             outs.append(cls[: len(chunk)])
         return np.concatenate(outs).astype(np.float32)
 

@@ -59,6 +59,18 @@ class RunInfo:
             return [json.loads(line) for line in f if line.strip()]
 
 
+def _is_primary() -> bool:
+    """Only the primary process writes registry files under multi-host
+    (every process computes identical metrics from replicated state, so
+    non-primary writes would only duplicate/garble the jsonl streams)."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 class RunRegistry:
     def __init__(self, log_dir: str):
         self.log_dir = log_dir
@@ -108,12 +120,16 @@ class RunRegistry:
         raise FileNotFoundError(f"run {run_id} not found under {self.log_dir}")
 
     def set_status(self, run: RunInfo, status: str) -> None:
+        if not _is_primary():
+            return
         with open(os.path.join(run.run_dir, "status"), "w", encoding="utf-8") as f:
             f.write(status + "\n")
 
     def log_metrics(
         self, run: RunInfo, metrics: Dict[str, float], step: int, epoch: int
     ) -> None:
+        if not _is_primary():
+            return
         with open(
             os.path.join(run.run_dir, "metrics.jsonl"), "a", encoding="utf-8"
         ) as f:

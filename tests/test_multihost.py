@@ -1,0 +1,57 @@
+"""2-process multi-host smoke test (CPU): both processes must complete a
+PMGT training epoch + eval over a global 8-device mesh and report
+identical numbers (replicated params, sharded batches, cross-process
+grad all-reduce)."""
+import os
+import re
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_training_step():
+    port = _free_port()
+    env = dict(os.environ)
+    # each child sets its own XLA device-count flag before backend init
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "multihost_smoke.py"),
+                "--process-id",
+                str(pid),
+                "--port",
+                str(port),
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=REPO,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"rc={p.returncode}\n{err[-3000:]}"
+        outs.append(out)
+
+    lines = [
+        next(l for l in out.splitlines() if l.startswith("MULTIHOST_OK"))
+        for out in outs
+    ]
+    # same mesh, same losses, same metrics on both hosts
+    stripped = [re.sub(r"p\d/", "p?/", l) for l in lines]
+    assert stripped[0] == stripped[1], lines
+    assert "mesh=8" in lines[0]

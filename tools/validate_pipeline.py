@@ -1,5 +1,8 @@
-"""Quality validation on TPU: PMGT pretrain → export → NCF/DCN with vs
-without PMGT embeddings, on a VG-scale synthetic dataset."""
+"""Quality validation on TPU: PMGT pretrain → export → every published
+model family (GMF / MLP / NeuMF-end / NeuMF-pre / DCN, each with vs
+without PMGT embeddings where the reference publishes that pairing), on a
+VG-scale synthetic dataset. ``--no-ctx-cache`` runs the PMGT stage with
+exact per-occurrence sampling for the cache A/B."""
 import os
 import sys
 
@@ -15,6 +18,13 @@ _ap = argparse.ArgumentParser()
 _ap.add_argument("--pmgt-epochs", type=int, default=8)
 _ap.add_argument("--downstream-epochs", type=int, default=12)
 _ap.add_argument("--out", default="/tmp/quality")
+_ap.add_argument("--no-ctx-cache", action="store_true",
+                 help="PMGT stage with exact per-occurrence sampling "
+                 "(cache A/B, README deviation record)")
+_ap.add_argument("--families", default="neumf,dcn,gmf,mlp,neumf_pre",
+                 help="comma list of downstream families to run")
+_ap.add_argument("--num-nodes", type=int, default=6500)
+_ap.add_argument("--num-users", type=int, default=5000)
 _cli = _ap.parse_args()
 import numpy as np
 
@@ -28,8 +38,8 @@ os.makedirs(OUT, exist_ok=True)
 results = {}
 
 art = make_synthetic_dataset(
-    num_nodes=6500,
-    num_users=5000,
+    num_nodes=_cli.num_nodes,
+    num_users=_cli.num_users,
     num_clusters=40,
     feat_dims=(1536, 768),
     interactions_per_user=15,
@@ -49,7 +59,12 @@ args = TrainArgs(
     train_batch_size=256, test_batch_size=512, lr=1e-4, decay=1e-2,
     early=5, early_criterion="auc", valid_size=0.1, mp_enabled=True,
     gradient_max_norm=5.0, log_dir=f"{OUT}/logs",
-    extra=dict(hidden_size=128, intermediate_size=128, num_hidden_layers=5),
+    extra=dict(
+        hidden_size=128,
+        intermediate_size=128,
+        num_hidden_layers=5,
+        ctx_cache=not _cli.no_ctx_cache,
+    ),
 )
 ctx = {"artifacts": art}
 pmgt_task.check_args(args)
@@ -65,34 +80,64 @@ emb_path = f"{OUT}/node_feat_128dim.npy"
 args.inference_result_path = emb_path
 pmgt_task.inference(args, ctx, reg, run)
 
-# ---------------- NCF with/without ----------------
+# ---------------- NCF family ----------------
 from pmgt_tpu.tasks import ncf_task
 
-for tag, emb in (("plain", None), ("pmgt", emb_path)):
-    extra = dict(factor_num=64, num_layers=2, num_ng=1, max_sample_items=500)
-    if emb:
-        extra.update(item_init_emb_path=emb, normalize_item_init_emb=True)
+FAMILIES = set(_cli.families.split(","))
+
+
+def run_ncf(name, model_name, extra):
     a = TrainArgs(
-        model_name="NeuMF-end", dataset_name="Q", seed=0, num_epochs=_cli.downstream_epochs,
+        model_name=model_name, dataset_name="Q", seed=0,
+        num_epochs=_cli.downstream_epochs,
         train_batch_size=256, test_batch_size=512, lr=1e-3, decay=0.0,
         early=4, early_criterion="n20", valid_size=0.2, mp_enabled=True,
-        gradient_max_norm=5.0, log_dir=f"{OUT}/logs", extra=extra,
+        gradient_max_norm=5.0, log_dir=f"{OUT}/logs", extra=dict(extra),
     )
     c = {"artifacts": art}
     ncf_task.check_args(a)
     ncf_task.init_run(a)
     ncf_task.init_dataloader(a, c)
     ncf_task.init_model(a, c)
-    r = reg.create_run(f"NCF-{tag}", a.to_dict())
+    r = reg.create_run(name, a.to_dict())
     ncf_task.train(a, c, reg, r)
     t = ncf_task.test(a, c, reg, r)
-    results[f"ncf_{tag}"] = t
-    print(f"NCF {tag}:", t)
+    results[name] = t
+    print(f"{name}:", t)
+    return r
+
+
+base_ncf = dict(factor_num=64, num_layers=2, num_ng=1, max_sample_items=500)
+
+if "neumf" in FAMILIES:
+    for tag, emb in (("plain", None), ("pmgt", emb_path)):
+        extra = dict(base_ncf)
+        if emb:
+            extra.update(item_init_emb_path=emb, normalize_item_init_emb=True)
+        run_ncf(f"ncf_{tag}", "NeuMF-end", extra)
+
+gmf_run = mlp_run = None
+if "gmf" in FAMILIES or "neumf_pre" in FAMILIES:
+    gmf_run = run_ncf("gmf", "GMF", base_ncf)
+if "mlp" in FAMILIES or "neumf_pre" in FAMILIES:
+    mlp_run = run_ncf("mlp", "MLP", base_ncf)
+if "neumf_pre" in FAMILIES:
+    # NeuMF-pre: fuse the trained GMF + MLP towers (ncf/models.py:111-126)
+    run_ncf(
+        "neumf_pre",
+        "NeuMF-pre",
+        dict(
+            base_ncf,
+            gmf_run_id=gmf_run.run_id,
+            mlp_run_id=mlp_run.run_id,
+            alpha=0.5,
+        ),
+    )
 
 # ---------------- DCN with/without ----------------
 from pmgt_tpu.tasks import dcn_task
 
-for tag, emb in (("plain", None), ("pmgt", emb_path)):
+for tag, emb in (("plain", None), ("pmgt", emb_path)) if "dcn" in FAMILIES else ():
     extra = dict(
         factor_num=32, deep_net_num_layers=2, cross_net_num_layers=3,
         num_ng=1, max_sample_items=5, emb_dropout=0.2, use_layer_norm=True,
