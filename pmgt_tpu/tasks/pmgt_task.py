@@ -227,6 +227,16 @@ class PMGTTask:
             partial(self._epoch_impl, accum=args.accumulation_step),
             donate_argnums=(0,),
         )
+        # Fused refresh+epoch: the per-epoch context/pair cache refresh is
+        # computed INSIDE the epoch dispatch, so a full training epoch is
+        # exactly one host->device round trip (the refresh's two separate
+        # dispatches measured ~218 ms/epoch through a remote tunnel —
+        # ~43% of epoch wall time — vs ~2-3 ms of device compute).
+        self._n_total = n_total
+        self._train_epoch_refresh_fn = jax.jit(
+            partial(self._epoch_refresh_impl, accum=args.accumulation_step),
+            donate_argnums=(0,),
+        )
         self._eval_step_fn = jax.jit(self._eval_step_impl)
         self._encode_fn = jax.jit(self._encode_impl)
         self._epoch_rng = np.random.default_rng(args.seed)
@@ -316,6 +326,23 @@ class PMGTTask:
         state, losses = jax.lax.scan(body, state, (targets_all, keys))
         return state, losses
 
+    def _epoch_refresh_impl(
+        self, state, targets_all, keys, graph, all_nodes, k_ctx, k_pairs,
+        accum: int,
+    ):
+        """Context/pair cache refresh + the epoch scan in ONE jitted
+        program (graph arrays and the node range enter as unmodified jit
+        parameters — the TPU gather fast-path requirement)."""
+        ctx_ids, ctx_mask = sample_all_contexts(
+            graph, k_ctx, self.sampling, self._n_total, all_nodes=all_nodes
+        )
+        pairs = sample_all_pairs(
+            graph, k_pairs, self.sampling, self._n_total, is_training=True
+        )
+        return self._epoch_impl(
+            state, targets_all, keys, (ctx_ids, ctx_mask, pairs), accum
+        )
+
     def train_epoch(self, state, epoch: int):
         """Engine fast path: run one full epoch in a single dispatch.
         Returns (state, per-step losses as a device array)."""
@@ -334,8 +361,17 @@ class PMGTTask:
         )
         keys = jax.random.split(base, n_full)
         self._step_count += n_full
-        ctx = self._get_ctx(("train", epoch)) if self.use_ctx_cache else None
-        state, losses = self._train_epoch_fn(state, targets_all, keys, ctx)
+        if self.use_ctx_cache:
+            # Same key derivation as _get_ctx(("train", epoch)) — the
+            # refresh just runs inside the epoch dispatch.
+            k_ctx, k_pairs = jax.random.split(
+                jax.random.key(self._phase_seed(("train", epoch)))
+            )
+            return self._train_epoch_refresh_fn(
+                state, targets_all, keys, self.graph, self._all_nodes,
+                k_ctx, k_pairs,
+            )
+        state, losses = self._train_epoch_fn(state, targets_all, keys, None)
         return state, losses
 
     def _eval_step_impl(self, params, targets, sample_valid, key, ctx):
@@ -370,6 +406,15 @@ class PMGTTask:
         )
         return hidden[:, 0]
 
+    def _phase_seed(self, tag) -> np.uint32:
+        """Deterministic per-phase cache seed: Python's str hash is
+        PYTHONHASHSEED-randomized, so hash(tag) would make eval
+        negatives/contexts — and therefore val metrics and best-ckpt
+        selection — irreproducible across processes."""
+        phase_id = {"train": 1, "valid": 2, "test": 3, "inference": 4}[tag[0]]
+        step = int(tag[1]) if len(tag) > 1 else 0
+        return np.uint32(self.args.seed * 104_729 + phase_id * 2_000_003 + step)
+
     def _get_ctx(self, tag):
         """Per-phase cache (contexts + pairs) refreshed when the tag
         changes; None when caching is disabled. Tags: ("train", epoch),
@@ -377,18 +422,9 @@ class PMGTTask:
         if not self.use_ctx_cache:
             return None
         if self._ctx_cache_tag != tag:
-            # Deterministic per-phase seed: Python's str hash is
-            # PYTHONHASHSEED-randomized, so hash(tag) would make eval
-            # negatives/contexts — and therefore val metrics and best-ckpt
-            # selection — irreproducible across processes.
-            phase_id = {"train": 1, "valid": 2, "test": 3, "inference": 4}[
-                tag[0]
-            ]
-            step = int(tag[1]) if len(tag) > 1 else 0
-            seed = np.uint32(
-                self.args.seed * 104_729 + phase_id * 2_000_003 + step
+            k_ctx, k_pairs = jax.random.split(
+                jax.random.key(self._phase_seed(tag))
             )
-            k_ctx, k_pairs = jax.random.split(jax.random.key(seed))
             ctx_ids, ctx_mask = self._sample_all_fn(self.graph, self._all_nodes, k_ctx)
             if tag[0] == "train":
                 pairs = self._sample_pairs_train_fn(self.graph, k_pairs)
@@ -404,6 +440,11 @@ class PMGTTask:
     # engine Task protocol
     # ------------------------------------------------------------------
     def on_epoch_start(self, epoch: int) -> None:
+        if self.use_scan_epoch and self.use_ctx_cache:
+            # The refresh is fused into the epoch dispatch (train_epoch);
+            # pre-populating the host-visible cache here would just add
+            # two extra device round trips per epoch.
+            return
         # Refresh the per-epoch context cache (one fresh context per node
         # per epoch — the reference's target-context refresh rate).
         self._get_ctx(("train", epoch))
