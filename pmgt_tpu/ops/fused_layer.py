@@ -30,8 +30,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_FWD = 256
-BLOCK_BWD = 64
+import os
+
+BLOCK_FWD = int(os.environ.get("PMGT_FUSED_BLOCK_FWD", 256))
+BLOCK_BWD = int(os.environ.get("PMGT_FUSED_BLOCK_BWD", 64))
 _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
@@ -100,16 +102,20 @@ def _ln_bwd(dy, xhat, inv, scale):
 
 
 def _attention_core(x, params_read, add_mask, m1, m2, *, beta, keep,
-                    use_dropout, want_residuals):
-    """Shared fwd math on one tile. x: [TB, S, H] f32."""
+                    use_dropout, want_residuals, store_dtype=jnp.float32):
+    """Shared fwd math on one tile. x: [TB, S, H] f32. ``store_dtype``
+    is the storage precision for the large per-token intermediates
+    (bf16 halves VMEM so the backward tile can double; matmuls always
+    accumulate in f32)."""
     (wq, bq, wk, bk, wv, bv, wc, bc) = params_read
     tb, s, h = x.shape
-    x2 = x.reshape(tb * s, h)
+    x2 = x.reshape(tb * s, h).astype(store_dtype)
 
     def lin(w, b):
         return (
-            jnp.dot(x2, w, preferred_element_type=jnp.float32) + b
-        ).reshape(tb, s, h)
+            jnp.dot(x2, w.astype(store_dtype), preferred_element_type=jnp.float32)
+            + b
+        ).reshape(tb, s, h).astype(store_dtype)
 
     q = lin(wq, bq)
     k = lin(wk, bk)
@@ -121,7 +127,8 @@ def _attention_core(x, params_read, add_mask, m1, m2, *, beta, keep,
             a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
 
-    norm_sq = jnp.sum(c * c, axis=-1, keepdims=True)
+    cf = c.astype(jnp.float32)
+    norm_sq = jnp.sum(cf * cf, axis=-1, keepdims=True)
     norm = jnp.sqrt(norm_sq)
     n_outer = jnp.maximum(
         jax.lax.dot_general(
@@ -144,7 +151,7 @@ def _attention_core(x, params_read, add_mask, m1, m2, *, beta, keep,
         p2d = p2 * m2 * inv_keep
     else:
         p1d, p2d = p1, p2
-    probs = beta * p1d + (1.0 - beta) * p2d
+    probs = (beta * p1d + (1.0 - beta) * p2d).astype(store_dtype)
     ctxout = jax.lax.dot_general(
         probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -208,8 +215,10 @@ def _bwd_kernel(x_ref, mask_ref, m1_ref, m2_ref, d1_ref, d2_ref,
                 dx_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref,
                 dbv_ref, dwc_ref, dbc_ref, dwo_ref, dbo_ref, dln1s_ref,
                 dln1b_ref, dwi_ref, dbi_ref, dw2_ref, db2_ref, dln2s_ref,
-                dln2b_ref, *, beta, keep, use_dropout, eps):
+                dln2b_ref, *, beta, keep, use_dropout, eps,
+                store_dtype=jnp.float32):
     f32 = jnp.float32
+    sd = lambda t: t.astype(store_dtype)  # matmul-input storage cast
     x = x_ref[:].astype(f32)
     tb, s, h = x.shape
     n = tb * s
@@ -235,23 +244,25 @@ def _bwd_kernel(x_ref, mask_ref, m1_ref, m2_ref, d1_ref, d2_ref,
         _attention_core(
             x, pr, add_mask, m1, m2,
             beta=beta, keep=keep, use_dropout=use_dropout,
-            want_residuals=True,
+            want_residuals=True, store_dtype=store_dtype,
         )
     )
+    ctxout = sd(ctxout)
     a_pre = (
-        jnp.dot(ctxout.reshape(n, h), wo, preferred_element_type=f32)
+        jnp.dot(ctxout.reshape(n, h), sd(wo), preferred_element_type=f32)
         + bo_ref[:].astype(f32)
     ).reshape(tb, s, h)
     a = a_pre * d1 / keep if use_dropout else a_pre
     r1 = a + x
     h1, xhat1, inv1 = _ln_fwd(r1, ln1s, ln1b_ref[:].astype(f32), eps)
+    h1s = sd(h1)
     u = (
-        jnp.dot(h1.reshape(n, h), wi, preferred_element_type=f32)
+        jnp.dot(h1s.reshape(n, h), sd(wi), preferred_element_type=f32)
         + bi_ref[:].astype(f32)
     )
-    f = _gelu_exact(u)
+    f = sd(_gelu_exact(u))
     o_pre = (
-        jnp.dot(f, w2, preferred_element_type=f32) + b2_ref[:].astype(f32)
+        jnp.dot(f, sd(w2), preferred_element_type=f32) + b2_ref[:].astype(f32)
     ).reshape(tb, s, h)
     o = o_pre * d2 / keep if use_dropout else o_pre
     r2 = o + h1
@@ -269,7 +280,7 @@ def _bwd_kernel(x_ref, mask_ref, m1_ref, m2_ref, d1_ref, d2_ref,
 
     def mm_tn(a2, b2):  # aᵀ @ b over token rows: [n, p]ᵀ [n, q] -> [p, q]
         return jax.lax.dot_general(
-            a2, b2, dimension_numbers=(((0,), (0,)), ((), ())),
+            sd(a2), sd(b2), dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=f32)
 
     # LN2
@@ -283,11 +294,11 @@ def _bwd_kernel(x_ref, mask_ref, m1_ref, m2_ref, d1_ref, d2_ref,
     do2 = do.reshape(n, h)
     acc(dw2_ref, mm_tn(f, do2))
     acc(db2_ref, jnp.sum(do2, axis=0))
-    df = jnp.dot(do2, w2.T, preferred_element_type=f32)
+    df = jnp.dot(sd(do2), sd(w2.T), preferred_element_type=f32)
     du = df * _gelu_grad(u)
-    acc(dwi_ref, mm_tn(h1.reshape(n, h), du))
+    acc(dwi_ref, mm_tn(h1s.reshape(n, h), du))
     acc(dbi_ref, jnp.sum(du, axis=0))
-    dh1 = dh1 + jnp.dot(du, wi.T, preferred_element_type=f32).reshape(tb, s, h)
+    dh1 = dh1 + jnp.dot(sd(du), sd(wi.T), preferred_element_type=f32).reshape(tb, s, h)
 
     # LN1
     acc(dln1s_ref, jnp.sum((dh1 * xhat1).reshape(n, h), axis=0))
@@ -300,22 +311,22 @@ def _bwd_kernel(x_ref, mask_ref, m1_ref, m2_ref, d1_ref, d2_ref,
     da2 = da.reshape(n, h)
     acc(dwo_ref, mm_tn(ctxout.reshape(n, h), da2))
     acc(dbo_ref, jnp.sum(da2, axis=0))
-    dctx = jnp.dot(da2, wo.T, preferred_element_type=f32).reshape(tb, s, h)
+    dctx = jnp.dot(sd(da2), sd(wo.T), preferred_element_type=f32).reshape(tb, s, h)
 
     # ---- attention backward (see ops/dual_attention.py) ----
     def bmm_nt(a3, b3):
         return jax.lax.dot_general(
-            a3, b3, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            sd(a3), sd(b3), dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=f32)
 
     def bmm_nn(a3, b3):
         return jax.lax.dot_general(
-            a3, b3, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            sd(a3), sd(b3), dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=f32)
 
     def bmm_tn3(a3, b3):
         return jax.lax.dot_general(
-            a3, b3, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            sd(a3), sd(b3), dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=f32)
 
     dv3 = bmm_tn3(probs, dctx)
@@ -353,9 +364,9 @@ def _bwd_kernel(x_ref, mask_ref, m1_ref, m2_ref, d1_ref, d2_ref,
         dz2 = dz.reshape(n, h)
         acc(dw_ref, mm_tn(x2, dz2))
         acc(db_ref, jnp.sum(dz2, axis=0))
-        dx = dx + jnp.dot(dz2, w_val.T, preferred_element_type=f32).reshape(
-            tb, s, h
-        )
+        dx = dx + jnp.dot(
+            sd(dz2), sd(w_val.T), preferred_element_type=f32
+        ).reshape(tb, s, h)
 
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
@@ -480,9 +491,15 @@ def _fused_bwd_rule(beta, keep, use_dropout, eps, residuals, g):
         const((i_dim, h)), const((h,)),
         const((h,)), const((h,)),
     )
+    store_dtype = (
+        jnp.bfloat16
+        if os.environ.get("PMGT_FUSED_BWD_DTYPE", "f32") in ("bf16", "bfloat16")
+        else jnp.float32
+    )
     outs = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, beta=beta, keep=keep, use_dropout=use_dropout, eps=eps
+            _bwd_kernel, beta=beta, keep=keep, use_dropout=use_dropout,
+            eps=eps, store_dtype=store_dtype,
         ),
         interpret=jax.default_backend() != "tpu",
         grid=grid,
