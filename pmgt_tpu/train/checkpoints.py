@@ -13,6 +13,8 @@ from typing import Any, Optional
 import orbax.checkpoint as ocp
 
 _CHECKPOINTER: Optional[ocp.StandardCheckpointer] = None
+# At most one in-flight async save: (tmp_path, final_path).
+_PENDING: Optional[tuple] = None
 
 
 def _ckptr() -> ocp.StandardCheckpointer:
@@ -22,21 +24,43 @@ def _ckptr() -> ocp.StandardCheckpointer:
     return _CHECKPOINTER
 
 
-def save_checkpoint(path: str, state: Any) -> None:
-    """Save a pytree, atomically replacing any existing checkpoint."""
+def wait_for_checkpoints() -> None:
+    """Finalize any in-flight async save (background write + atomic
+    rename). Must run before reading a just-saved checkpoint and before
+    process exit."""
+    global _PENDING
+    if _PENDING is None:
+        return
+    tmp, final = _PENDING
+    _PENDING = None
+    _ckptr().wait_until_finished()
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+
+
+def save_checkpoint(path: str, state: Any, block: bool = True) -> None:
+    """Save a pytree, atomically replacing any existing checkpoint.
+
+    With ``block=False`` the device->host copy happens now but the file
+    write + rename complete in the background (orbax async save) — the
+    training loop overlaps checkpointing with the next epoch. The next
+    save (or ``wait_for_checkpoints``) finalizes it."""
     path = os.path.abspath(path)
     tmp = path + ".tmp_new"
+    wait_for_checkpoints()  # at most one outstanding save
     shutil.rmtree(tmp, ignore_errors=True)
     ckptr = _ckptr()
     ckptr.save(tmp, state)
-    ckptr.wait_until_finished()
-    shutil.rmtree(path, ignore_errors=True)
-    os.replace(tmp, path)
+    global _PENDING
+    _PENDING = (tmp, path)
+    if block:
+        wait_for_checkpoints()
 
 
 def restore_checkpoint(path: str, template: Optional[Any] = None) -> Any:
     """Restore a pytree; with a template, leaves are restored with the
     template's shardings/dtypes."""
+    wait_for_checkpoints()
     path = os.path.abspath(path)
     if template is not None:
         return _ckptr().restore(path, template)

@@ -24,6 +24,7 @@ from pmgt_tpu.train.checkpoints import (
     read_best_info,
     restore_checkpoint,
     save_checkpoint,
+    wait_for_checkpoints,
     write_best_info,
 )
 from pmgt_tpu.train.registry import RunInfo, RunRegistry
@@ -286,9 +287,15 @@ def fit(
                         "has_best": True,
                     },
                 }
-                save_checkpoint(os.path.join(ckpt_dir, "last"), payload)
+                # Async saves: the write+rename overlaps the next epoch;
+                # restore paths and the finally block finalize pending saves.
+                save_checkpoint(
+                    os.path.join(ckpt_dir, "last"), payload, block=False
+                )
                 if improved:
-                    save_checkpoint(os.path.join(ckpt_dir, "best"), payload)
+                    save_checkpoint(
+                        os.path.join(ckpt_dir, "best"), payload, block=False
+                    )
                     write_best_info(ckpt_dir, monitor, best_value, epoch)
 
             if guard.requested:
@@ -311,6 +318,7 @@ def fit(
 
     finally:
         guard.__exit__()
+        wait_for_checkpoints()
 
     results = dict(val_metrics)
     results["best"] = float(best_value) if best_value is not None else float("nan")

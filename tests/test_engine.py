@@ -181,3 +181,29 @@ def test_guard_restores_signal_handlers_on_exception():
             early_criterion="auc", log_every=0,
         )
     assert signal.getsignal(signal.SIGINT) is before
+
+
+def test_async_checkpoint_save_and_finalize(tmp_path):
+    """block=False saves finalize on wait_for_checkpoints/restore and the
+    final checkpoint is atomic + readable."""
+    import jax.numpy as jnp
+
+    from pmgt_tpu.train.checkpoints import (
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_checkpoints,
+    )
+
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, {"w": jnp.arange(4.0)}, block=False)
+    # a second async save finalizes the first
+    save_checkpoint(path, {"w": jnp.arange(4.0) * 2}, block=False)
+    wait_for_checkpoints()
+    got = restore_checkpoint(path)
+    np.testing.assert_allclose(got["w"], np.arange(4.0) * 2)
+    assert not os.path.exists(path + ".tmp_new")
+
+    # restore alone also finalizes a pending save
+    save_checkpoint(path, {"w": jnp.arange(4.0) * 3}, block=False)
+    got = restore_checkpoint(path)
+    np.testing.assert_allclose(got["w"], np.arange(4.0) * 3)
