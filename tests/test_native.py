@@ -105,3 +105,49 @@ def test_native_matches_python_marginals(table):
         np.testing.assert_allclose(
             marg(n_prob, n_idx), marg(p_prob, p_idx), atol=1e-6
         )
+
+
+def test_co_review_native_matches_scipy():
+    """Native hash-counting co-review builder ≡ the scipy sparse matmul."""
+    import scipy.sparse as sp
+
+    from pmgt_tpu.native import co_review_edges_native
+
+    rs = np.random.RandomState(7)
+    m, n_items, n_users = 4000, 120, 60
+    items = rs.randint(0, n_items, m).astype(np.int32)
+    users = rs.randint(0, n_users, m).astype(np.int32)
+
+    native = co_review_edges_native(items, users, min_common=3)
+    if native is None:
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    src, dst, counts = native
+    assert (src < dst).all()
+
+    # dedup like the pipeline does
+    uniq = np.unique(np.stack([items, users], 1), axis=0)
+    mat = sp.csr_matrix(
+        (np.ones(len(uniq), np.int32), (uniq[:, 0], uniq[:, 1])),
+        shape=(n_items, n_users),
+    )
+    common = (mat @ mat.T).tocoo()
+    expected = {
+        (int(i), int(j)): int(w)
+        for i, j, w in zip(common.row, common.col, common.data)
+        if i < j and w >= 3
+    }
+    got = {
+        (int(i), int(j)): int(c) for i, j, c in zip(src, dst, counts)
+    }
+    assert got == expected
+    assert len(got) > 50  # the workload actually produced edges
+
+
+def test_co_review_native_max_pairs_fallback():
+    from pmgt_tpu.native import co_review_edges_native
+
+    items = np.arange(100, dtype=np.int32)
+    users = np.zeros(100, np.int32)  # one user, 4950 pairs
+    assert co_review_edges_native(items, users, 1, max_pairs=100) is None
