@@ -338,107 +338,6 @@ class PMGTLayer(nn.Module):
         )(out + hidden)
 
 
-class FusedPMGTLayer(nn.Module):
-    """One encoder layer backed by the fully fused Pallas kernels
-    (ops/fused_layer.py): attention + FFN + LayerNorms in a single
-    VMEM-resident fwd and bwd pass.
-
-    Parameters are flat (wq/bq/.../ln2_bias) rather than nested submodules;
-    ``convert_layer_params`` maps between this layout and the standard
-    PMGTLayer tree. Restricted to single-head, head_dim == hidden,
-    absolute positions, and equal attention/hidden dropout rates — the
-    paper configuration; PMGTModel enforces the fallback otherwise.
-    """
-
-    config: PMGTConfig
-
-    @nn.compact
-    def __call__(
-        self,
-        hidden: Array,
-        additive_mask: Optional[Array],
-        deterministic: bool = True,
-    ) -> Array:
-        from pmgt_tpu.ops.fused_layer import LayerParams, pmgt_layer_fused
-
-        cfg = self.config
-        h, i_dim = cfg.hidden_size, cfg.intermediate_size
-        init = _normal_init(cfg.initializer_range)
-        zeros = nn.initializers.zeros
-        ones = nn.initializers.ones
-
-        params = LayerParams(
-            wq=self.param("wq", init, (h, h)),
-            bq=self.param("bq", zeros, (h,)),
-            wk=self.param("wk", init, (h, h)),
-            bk=self.param("bk", zeros, (h,)),
-            wv=self.param("wv", init, (h, h)),
-            bv=self.param("bv", zeros, (h,)),
-            wc=self.param("wc", init, (h, h)),
-            bc=self.param("bc", zeros, (h,)),
-            wo=self.param("wo", init, (h, h)),
-            bo=self.param("bo", zeros, (h,)),
-            ln1_scale=self.param("ln1_scale", ones, (h,)),
-            ln1_bias=self.param("ln1_bias", zeros, (h,)),
-            wi=self.param("wi", init, (h, i_dim)),
-            bi=self.param("bi", zeros, (i_dim,)),
-            w2=self.param("w2", init, (i_dim, h)),
-            b2=self.param("b2", zeros, (h,)),
-            ln2_scale=self.param("ln2_scale", ones, (h,)),
-            ln2_bias=self.param("ln2_bias", zeros, (h,)),
-        )
-        rng = None
-        if not deterministic and (
-            cfg.hidden_dropout_prob > 0 or cfg.attention_probs_dropout_prob > 0
-        ):
-            rng = self.make_rng("dropout")
-        b, s, _ = hidden.shape
-        mask = additive_mask
-        if mask is not None:
-            mask = jnp.broadcast_to(mask, (b, 1, 1, s))
-        return pmgt_layer_fused(
-            hidden.astype(jnp.float32),
-            mask.astype(jnp.float32) if mask is not None else None,
-            params,
-            beta=cfg.beta,
-            dropout_rate=cfg.hidden_dropout_prob,
-            attention_dropout_rate=cfg.attention_probs_dropout_prob,
-            deterministic=deterministic,
-            dropout_rng=rng,
-            eps=cfg.layer_norm_eps,
-        ).astype(jnp.dtype(cfg.dtype))
-
-
-def convert_layer_params(standard: dict) -> dict:
-    """Standard PMGTLayer param tree → FusedPMGTLayer flat layout."""
-    sa = standard["self_attention"]
-    return {
-        "wq": sa["query"]["kernel"], "bq": sa["query"]["bias"],
-        "wk": sa["key"]["kernel"], "bk": sa["key"]["bias"],
-        "wv": sa["value"]["kernel"], "bv": sa["value"]["bias"],
-        "wc": sa["ctx_attention"]["kernel"], "bc": sa["ctx_attention"]["bias"],
-        "wo": standard["attention_output"]["kernel"],
-        "bo": standard["attention_output"]["bias"],
-        "ln1_scale": standard["attention_norm"]["scale"],
-        "ln1_bias": standard["attention_norm"]["bias"],
-        "wi": standard["intermediate"]["kernel"],
-        "bi": standard["intermediate"]["bias"],
-        "w2": standard["output"]["kernel"],
-        "b2": standard["output"]["bias"],
-        "ln2_scale": standard["output_norm"]["scale"],
-        "ln2_bias": standard["output_norm"]["bias"],
-    }
-
-
-def _can_fuse_layer(cfg: PMGTConfig) -> bool:
-    return (
-        cfg.num_attention_heads == 1
-        and cfg.head_dim == cfg.hidden_size
-        and cfg.position_embedding_type == "absolute"
-        and cfg.hidden_dropout_prob == cfg.attention_probs_dropout_prob
-    )
-
-
 class PMGTModel(nn.Module):
     """PMGT encoder trunk (reference modeling_pmgt.py:65-152)."""
 
@@ -451,22 +350,11 @@ class PMGTModel(nn.Module):
         # Optional per-layer rematerialization — the TPU equivalent of the
         # reference's torch gradient checkpointing plumbing
         # (modeling_pmgt.py:240-253). deterministic is static (arg 2).
-        base_layer = PMGTLayer
-        if cfg.attention_impl == "fused_layer":
-            if _can_fuse_layer(cfg):
-                base_layer = FusedPMGTLayer
-            else:
-                import logging
-
-                logging.getLogger("pmgt_tpu").warning(
-                    "fused_layer requires single-head/absolute/equal-dropout "
-                    "config; falling back to the per-op layer"
-                )
         # static_argnums counts self at position 0 for lifted methods.
         layer_cls = (
-            nn.remat(base_layer, static_argnums=(3,))
+            nn.remat(PMGTLayer, static_argnums=(3,))
             if cfg.gradient_checkpointing
-            else base_layer
+            else PMGTLayer
         )
         self.layers = [
             layer_cls(cfg, name=f"layer_{i}")

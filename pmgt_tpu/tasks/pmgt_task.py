@@ -227,16 +227,6 @@ class PMGTTask:
             partial(self._epoch_impl, accum=args.accumulation_step),
             donate_argnums=(0,),
         )
-        # Fused refresh+epoch: the per-epoch context/pair cache refresh is
-        # computed INSIDE the epoch dispatch, so a full training epoch is
-        # exactly one host->device round trip (the refresh's two separate
-        # dispatches measured ~218 ms/epoch through a remote tunnel —
-        # ~43% of epoch wall time — vs ~2-3 ms of device compute).
-        self._n_total = n_total
-        self._train_epoch_refresh_fn = jax.jit(
-            partial(self._epoch_refresh_impl, accum=args.accumulation_step),
-            donate_argnums=(0,),
-        )
         self._eval_step_fn = jax.jit(self._eval_step_impl)
         self._encode_fn = jax.jit(self._encode_impl)
         self._epoch_rng = np.random.default_rng(args.seed)
@@ -326,22 +316,6 @@ class PMGTTask:
         state, losses = jax.lax.scan(body, state, (targets_all, keys))
         return state, losses
 
-    def _epoch_refresh_impl(
-        self, state, targets_all, keys, graph, all_nodes, k_ctx, k_pairs,
-        accum: int,
-    ):
-        """Context/pair cache refresh + the epoch scan in ONE jitted
-        program (graph arrays and the node range enter as unmodified jit
-        parameters — the TPU gather fast-path requirement)."""
-        ctx_ids, ctx_mask = sample_all_contexts(
-            graph, k_ctx, self.sampling, self._n_total, all_nodes=all_nodes
-        )
-        pairs = sample_all_pairs(
-            graph, k_pairs, self.sampling, self._n_total, is_training=True
-        )
-        return self._epoch_impl(
-            state, targets_all, keys, (ctx_ids, ctx_mask, pairs), accum
-        )
 
     def train_epoch(self, state, epoch: int):
         """Engine fast path: run one full epoch in a single dispatch.
@@ -361,17 +335,15 @@ class PMGTTask:
         )
         keys = jax.random.split(base, n_full)
         self._step_count += n_full
-        if self.use_ctx_cache:
-            # Same key derivation as _get_ctx(("train", epoch)) — the
-            # refresh just runs inside the epoch dispatch.
-            k_ctx, k_pairs = jax.random.split(
-                jax.random.key(self._phase_seed(("train", epoch)))
-            )
-            return self._train_epoch_refresh_fn(
-                state, targets_all, keys, self.graph, self._all_nodes,
-                k_ctx, k_pairs,
-            )
-        state, losses = self._train_epoch_fn(state, targets_all, keys, None)
+        # NOTE: the cache refresh stays a SEPARATE dispatch on purpose.
+        # Folding it into the epoch jit was measured 2.1x slower per step
+        # (13.5 -> 28.9 ms): ctx tables produced inside the program are no
+        # longer unmodified jit parameters, so every step's context gather
+        # leaves the TPU dynamic-gather fast path. Both dispatches are
+        # async — the host never blocks between them — so the separate
+        # refresh costs dispatch time only.
+        ctx = self._get_ctx(("train", epoch)) if self.use_ctx_cache else None
+        state, losses = self._train_epoch_fn(state, targets_all, keys, ctx)
         return state, losses
 
     def _eval_step_impl(self, params, targets, sample_valid, key, ctx):
@@ -440,11 +412,6 @@ class PMGTTask:
     # engine Task protocol
     # ------------------------------------------------------------------
     def on_epoch_start(self, epoch: int) -> None:
-        if self.use_scan_epoch and self.use_ctx_cache:
-            # The refresh is fused into the epoch dispatch (train_epoch);
-            # pre-populating the host-visible cache here would just add
-            # two extra device round trips per epoch.
-            return
         # Refresh the per-epoch context cache (one fresh context per node
         # per epoch — the reference's target-context refresh rate).
         self._get_ctx(("train", epoch))

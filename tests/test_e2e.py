@@ -207,51 +207,3 @@ def test_pmgt_resume_from_checkpoint(pretrained, art):
     results = pmgt_task.train(args, ctx, registry, run)
     assert "val/auc" in results
 
-
-def test_fused_refresh_epoch_matches_explicit_ctx_path(small_artifacts=None):
-    """The refresh-inside-the-dispatch epoch must be bit-identical to
-    explicitly refreshing the cache and running the plain epoch scan."""
-    import jax
-    import numpy as np
-
-    from pmgt_tpu.core.config import TrainArgs
-    from pmgt_tpu.core.mesh import put_along_data_axis
-    from pmgt_tpu.data.synthetic import make_synthetic_dataset
-    from pmgt_tpu.tasks.pmgt_task import PMGTTask
-
-    art = make_synthetic_dataset(
-        num_nodes=80, num_users=30, feat_dims=(16, 12), seed=0
-    )
-    nodes = np.arange(2, 82, dtype=np.int32)
-
-    def make():
-        a = TrainArgs(
-            model_name="pmgt", dataset_name="s", seed=0,
-            train_batch_size=16, test_batch_size=16, num_epochs=1,
-            extra=dict(
-                hidden_size=8, intermediate_size=8, num_hidden_layers=1,
-                hop_sampling_sizes=(3, 2), prng_impl="threefry2x32",
-            ),
-        )
-        return PMGTTask(a, art, nodes[:64], nodes[64:])
-
-    t1 = make()
-    _, fused_losses = t1.train_epoch(t1.state, 0)
-
-    t2 = make()
-    bs = 16
-    ids = t2.train_nodes.copy()
-    rng = np.random.default_rng(t2.args.seed * 100_003)
-    rng.shuffle(ids)
-    n_full = len(ids) // bs
-    targets_all = put_along_data_axis(
-        t2.mesh, ids[: n_full * bs].reshape(n_full, bs), axis=1
-    )
-    base = jax.random.key(np.uint32(t2.args.seed * 7_919 + 1))
-    keys = jax.random.split(base, n_full)
-    ctx = t2._get_ctx(("train", 0))
-    _, explicit_losses = t2._train_epoch_fn(t2.state, targets_all, keys, ctx)
-
-    np.testing.assert_allclose(
-        np.asarray(fused_losses), np.asarray(explicit_losses), rtol=1e-6
-    )
