@@ -113,11 +113,26 @@ def sample_pairs(
     any_ok = jnp.any(ok, axis=-1)  # [B, total]
     first_ok = jnp.argmax(ok, axis=-1)  # [B, total]
     neg_rej = jnp.take_along_axis(cand, first_ok[..., None], axis=-1)[..., 0]
+
     # Exact fallback for draws where every round hit a neighbor — without
     # it argmax returns slot 0's candidate, silently emitting a *positive*
-    # as a negative ((deg/N)^rounds per draw; ~18% for deg/N=0.9).
-    u_fb = jax.random.uniform(key_fb, (batch, total))
-    neg_fb, fb_valid = uniform_zero_draw(member, NUM_SPECIAL_NODES, u_fb)
+    # as a negative ((deg/N)^rounds per draw; ~18% for deg/N=0.9). The
+    # complement rank-select (cumsum over [B, N] + binary searches) runs
+    # under lax.cond so real graphs — where the rejection rounds
+    # essentially never all miss — pay nothing for the guarantee.
+    def _fallback(_):
+        u_fb = jax.random.uniform(key_fb, (batch, total))
+        return uniform_zero_draw(member, NUM_SPECIAL_NODES, u_fb)
+
+    def _no_fallback(_):
+        return (
+            jnp.full((batch, total), NUM_SPECIAL_NODES, jnp.int32),
+            jnp.ones((batch, total), bool),
+        )
+
+    neg_fb, fb_valid = jax.lax.cond(
+        ~jnp.all(any_ok), _fallback, _no_fallback, None
+    )
     neg_nodes = jnp.where(any_ok, neg_rej, neg_fb)
     # Invalid only when the complement is empty (target adjacent to every
     # node) — then no correct negative exists and the slot is masked out.
