@@ -1,0 +1,251 @@
+"""User-item interaction tables and the NCF/DCN sampling protocol.
+
+Behavioral reference: pmgt/ncf/datasets.py. The reference keeps a scipy
+``dok_matrix`` and rejection-samples negatives in a Python ``while`` loop
+per pair (ncf/datasets.py:85-101), and builds per-user evaluation candidate
+lists of all positives plus sampled negatives up to ``num_ng``
+(ncf/datasets.py:106-128). Here the interaction set becomes a padded
+per-user positive table so that negative sampling is one jitted
+fixed-round rejection pass with an exact complement-draw fallback (the
+reference's unbounded ``while`` always terminates; the ``lax.cond``-guarded
+fallback keeps that guarantee under fixed shapes without the silent
+emit-a-positive failure mode of plain ``argmax`` selection).
+
+Membership is **split-local** on purpose: the reference checks candidate
+negatives only against the split's own matrix (``train_mat`` built from the
+split handed to the dataset, ncf/datasets.py:85-92), so eval negatives may
+collide with *train* positives exactly as they do upstream.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmgt_tpu.sampling.mcn import _scatter_set_rows, uniform_zero_draw
+
+# The reference retries until a non-positive is found; 16 fixed rounds make
+# a miss astronomically unlikely on real interaction matrices (density
+# ~1e-3), and the exact fallback below covers the rest.
+NEG_REJECTION_ROUNDS = 16
+
+
+class InteractionData(NamedTuple):
+    """Padded structure-of-arrays view of a (user, item) interaction split.
+
+    ``user_pos`` rows are the per-user positive item ids (sorted, unique),
+    padded with ``num_items`` — an id outside the item range so a padded
+    slot can never match a sampled candidate.
+    """
+
+    pairs: np.ndarray  # [M, 2] int32 (user, item) as given
+    num_users: int
+    num_items: int
+    unique_users: np.ndarray  # [U] int32, sorted
+    user_pos: np.ndarray  # [U, max_pos] int32, padded with num_items
+    user_pos_count: np.ndarray  # [U] int32
+
+    @classmethod
+    def build(
+        cls, pairs: np.ndarray, num_users: int, num_items: int
+    ) -> "InteractionData":
+        pairs = np.asarray(pairs, np.int32).reshape(-1, 2)
+        if len(pairs):
+            unique_users, inverse = np.unique(pairs[:, 0], return_inverse=True)
+            counts = np.bincount(inverse, minlength=len(unique_users))
+        else:
+            unique_users = np.zeros((0,), np.int32)
+            counts = np.zeros((0,), np.int64)
+        u = len(unique_users)
+        max_pos = 1
+        user_pos = np.full((u, 1), num_items, np.int32)
+        pos_count = np.zeros((u,), np.int32)
+        if len(pairs):
+            items_per_user = [
+                np.unique(pairs[inverse == r, 1]) for r in range(u)
+            ]
+            pos_count = np.asarray([len(it) for it in items_per_user], np.int32)
+            max_pos = max(int(pos_count.max()), 1)
+            user_pos = np.full((u, max_pos), num_items, np.int32)
+            for r, it in enumerate(items_per_user):
+                user_pos[r, : len(it)] = it
+        return cls(
+            pairs=pairs,
+            num_users=int(num_users),
+            num_items=int(num_items),
+            unique_users=unique_users.astype(np.int32),
+            user_pos=user_pos,
+            user_pos_count=pos_count,
+        )
+
+    def user_row_index(self) -> np.ndarray:
+        """[num_users] int32: user id → row in ``user_pos`` (0 for users
+        absent from this split; callers only index present users)."""
+        idx = np.zeros((self.num_users,), np.int32)
+        idx[self.unique_users] = np.arange(
+            len(self.unique_users), dtype=np.int32
+        )
+        return idx
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def ng_sample(
+    users: jnp.ndarray,
+    pair_rows: jnp.ndarray,
+    key: jax.Array,
+    num_ng: int,
+    num_items: int,
+) -> jnp.ndarray:
+    """Sample ``num_ng`` negative items per row, never colliding with that
+    row's positives (reference ``ng_sample``, ncf/datasets.py:85-101).
+
+    Args:
+        users: [M] int32 user ids (shape carrier; membership comes from
+            ``pair_rows``).
+        pair_rows: [M, max_pos] positive item ids per row, padded with
+            ``num_items``.
+        key: PRNG key.
+        num_ng: negatives per row.
+        num_items: item-id space size.
+
+    Returns:
+        [M, num_ng] int32 negative item ids. Fixed-round rejection first;
+        rows where some draw exhausted every round fall back to an exact
+        uniform draw over the complement set under ``lax.cond``, so real
+        interaction matrices pay nothing for the termination guarantee.
+    """
+    m = users.shape[0]
+    # Membership buffer one column wider than the item space so the pad id
+    # (num_items) scatters into a harmless, always-excluded column.
+    member = jnp.zeros((m, num_items + 1), jnp.float32)
+    member = _scatter_set_rows(member, pair_rows, 1.0)
+    member = member.at[:, num_items].set(1.0)
+
+    key_rej, key_fb = jax.random.split(key)
+    cand = jax.random.randint(
+        key_rej,
+        (m, num_ng, NEG_REJECTION_ROUNDS),
+        minval=0,
+        maxval=num_items,
+        dtype=jnp.int32,
+    )
+    is_pos = jnp.take_along_axis(
+        member, cand.reshape(m, -1), axis=1
+    ).reshape(m, num_ng, NEG_REJECTION_ROUNDS)
+    ok = is_pos == 0.0
+    any_ok = jnp.any(ok, axis=-1)  # [M, num_ng]
+    first_ok = jnp.argmax(ok, axis=-1)
+    neg_rej = jnp.take_along_axis(cand, first_ok[..., None], axis=-1)[..., 0]
+
+    def _fallback(_):
+        u_fb = jax.random.uniform(key_fb, (m, num_ng))
+        ids, _valid = uniform_zero_draw(member, 0, u_fb)
+        return ids
+
+    def _no_fallback(_):
+        return jnp.zeros((m, num_ng), jnp.int32)
+
+    neg_fb = jax.lax.cond(~jnp.all(any_ok), _fallback, _no_fallback, None)
+    return jnp.where(any_ok, neg_rej, neg_fb).astype(jnp.int32)
+
+
+def epoch_training_arrays(
+    data: InteractionData, num_ng: int, key: jax.Array
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One epoch of pointwise training examples: every positive pair plus
+    ``num_ng`` fresh negatives per pair (the reference resamples each epoch
+    via ``on_train_epoch_start``, ncf/trainer.py:191-193).
+
+    Returns (users, items, labels) host arrays of length M * (1 + num_ng),
+    positives first, then each pair's negatives grouped per pair.
+    """
+    pairs = data.pairs
+    m = len(pairs)
+    users = pairs[:, 0]
+    if m == 0 or num_ng == 0:
+        return (
+            users.astype(np.int32),
+            pairs[:, 1].astype(np.int32),
+            np.ones((m,), np.float32),
+        )
+    rows = data.user_pos[data.user_row_index()[users]]
+    negs = np.asarray(
+        ng_sample(
+            jnp.asarray(users),
+            jnp.asarray(rows),
+            key,
+            int(num_ng),
+            data.num_items,
+        )
+    )
+    out_users = np.concatenate([users, np.repeat(users, num_ng)]).astype(
+        np.int32
+    )
+    out_items = np.concatenate([pairs[:, 1], negs.reshape(-1)]).astype(
+        np.int32
+    )
+    out_labels = np.concatenate(
+        [np.ones((m,), np.float32), np.zeros((m * num_ng,), np.float32)]
+    )
+    return out_users, out_items, out_labels
+
+
+def build_eval_candidates(
+    data: InteractionData, num_ng: int, key: jax.Array
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-user ranking candidates: all of the user's positives first, then
+    sampled negatives up to ``num_ng`` total candidates (reference
+    ncf/datasets.py:106-128; ``num_ng`` is ``max_sample_items``). Users with
+    more positives than ``num_ng`` keep them all and get no negatives —
+    valid count = max(num_ng, #pos), exactly the reference's list length.
+
+    Returns:
+        users: [U] int32 (the split's users, sorted).
+        candidates: [U, L] int32, L = max over users of the valid count.
+        cand_mask: [U, L] float32 — 1 on valid candidate slots.
+        labels: [U, L] float32 — 1 on positive slots.
+    """
+    users = data.unique_users
+    u = len(users)
+    counts = data.user_pos_count.astype(np.int64)
+    if u == 0:
+        z = np.zeros((0, max(num_ng, 1)), np.float32)
+        return users, z.astype(np.int32), z, z
+    valid = np.maximum(num_ng, counts)
+    big_l = int(valid.max())
+    negs = np.asarray(
+        ng_sample(
+            jnp.asarray(users),
+            jnp.asarray(data.user_pos),
+            key,
+            big_l,
+            data.num_items,
+        )
+    )
+    col = np.arange(big_l)[None, :]
+    pos_padded = np.full((u, big_l), data.num_items, np.int32)
+    pos_padded[:, : data.user_pos.shape[1]] = data.user_pos
+    is_pos = col < counts[:, None]
+    candidates = np.where(is_pos, pos_padded, negs).astype(np.int32)
+    labels = is_pos.astype(np.float32)
+    cand_mask = (col < valid[:, None]).astype(np.float32)
+    return users, candidates, cand_mask, labels
+
+
+def train_valid_split(
+    pairs: np.ndarray, valid_size: float, seed: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random train/valid split of interaction pairs (reference
+    ncf/trainer.py:53-60 via sklearn train_test_split)."""
+    from sklearn.model_selection import train_test_split
+
+    pairs = np.asarray(pairs, np.int32).reshape(-1, 2)
+    if valid_size <= 0 or len(pairs) < 2:
+        return pairs, pairs[:0]
+    train, valid = train_test_split(
+        pairs, test_size=valid_size, random_state=seed
+    )
+    return np.ascontiguousarray(train), np.ascontiguousarray(valid)
