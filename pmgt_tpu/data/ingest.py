@@ -14,7 +14,7 @@ import os
 import time
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Tuple
 
 logger = logging.getLogger("pmgt_tpu")
 

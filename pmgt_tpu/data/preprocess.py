@@ -26,7 +26,7 @@ import json
 import logging
 import os
 from datetime import datetime, timezone
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
 
@@ -76,9 +76,12 @@ def build_co_review_graph(
 
     Returns (node_items: sorted asins that kept ≥1 edge,
     edges: (u_idx, v_idx, weight) with indices into node_items).
-    """
-    import scipy.sparse as sp
 
+    The pair counting — the O(Σ per-user reviews²) hot part at production
+    scale — runs in the native C++ builder when available
+    (pmgt_tpu/native/co_review.cpp), falling back to a scipy sparse
+    matmul; both paths are equivalence-tested (tests/test_native.py).
+    """
     pairs = {(r["reviewerID"], r["asin"]) for r in reviews}
     if not pairs:
         return np.asarray([], dtype=object), []
@@ -86,19 +89,28 @@ def build_co_review_graph(
     items = sorted({a for _, a in pairs})
     uidx = {u: i for i, u in enumerate(users)}
     iidx = {a: i for i, a in enumerate(items)}
-    rows = np.asarray([iidx[a] for _, a in pairs])
-    cols = np.asarray([uidx[u] for u, _ in pairs])
-    mat = sp.csr_matrix(
-        (np.ones(len(pairs), np.int64), (rows, cols)),
-        shape=(len(items), len(users)),
-    )
-    co = (mat @ mat.T).tocoo()
+    rows = np.asarray([iidx[a] for _, a in pairs], np.int32)
+    cols = np.asarray([uidx[u] for u, _ in pairs], np.int32)
 
-    raw_edges = {}
-    for u, v, w in zip(co.row, co.col, co.data):
-        if u >= v or w < min_common_users:
-            continue
-        raw_edges[(int(u), int(v))] = int(w)
+    from pmgt_tpu.native import co_review_edges_native
+
+    native = co_review_edges_native(rows, cols, min_common_users)
+    if native is not None:
+        src, dst, counts = native
+    else:
+        import scipy.sparse as sp
+
+        mat = sp.csr_matrix(
+            (np.ones(len(pairs), np.int64), (rows, cols)),
+            shape=(len(items), len(users)),
+        )
+        co = sp.triu(mat @ mat.T, k=1).tocoo()
+        keep = co.data >= min_common_users
+        src, dst, counts = co.row[keep], co.col[keep], co.data[keep]
+
+    raw_edges = {
+        (int(u), int(v)): int(w) for u, v, w in zip(src, dst, counts)
+    }
     deg = np.zeros(len(items), np.int64)
     for u, v in raw_edges:
         deg[u] += 1

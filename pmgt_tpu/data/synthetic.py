@@ -18,7 +18,7 @@ metric lifts end to end (tools/validate_pipeline.py):
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 
