@@ -41,11 +41,22 @@ def download_reviews(
     """
     os.makedirs(raw_dir, exist_ok=True)
     out_path = os.path.join(raw_dir, "reviews.json.gz")
-    if os.path.exists(out_path):
-        logger.info("reviews dump already present at %s", out_path)
-        return out_path
+    src_path = out_path + ".source"
     category = _CATEGORIES.get(dataset_name, dataset_name)
     url = f"{_MIRROR}/{category}_5.json.gz"
+    if os.path.exists(out_path):
+        # A sidecar records which dump this is, so reusing one raw_dir for
+        # a different dataset fails loudly instead of silently building
+        # artifacts from the wrong category's reviews.
+        if os.path.exists(src_path):
+            recorded = open(src_path).read().strip()
+            if recorded != url:
+                raise ValueError(
+                    f"{out_path} holds {recorded}, but dataset "
+                    f"{dataset_name} needs {url}; use a separate raw dir"
+                )
+        logger.info("reviews dump already present at %s", out_path)
+        return out_path
     logger.info("downloading %s", url)
     with opener(url) as resp:
         data = resp.read()
@@ -53,6 +64,8 @@ def download_reviews(
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, out_path)
+    with open(src_path, "w") as f:
+        f.write(url)
     return out_path
 
 

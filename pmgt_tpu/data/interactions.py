@@ -25,8 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pmgt_tpu.sampling.mcn import _scatter_set_rows, uniform_zero_draw
-
 # The reference retries until a non-positive is found; 16 fixed rounds make
 # a miss astronomically unlikely on real interaction matrices (density
 # ~1e-3), and the exact fallback below covers the rest.
@@ -54,24 +52,27 @@ class InteractionData(NamedTuple):
     ) -> "InteractionData":
         pairs = np.asarray(pairs, np.int32).reshape(-1, 2)
         if len(pairs):
-            unique_users, inverse = np.unique(pairs[:, 0], return_inverse=True)
-            counts = np.bincount(inverse, minlength=len(unique_users))
-        else:
-            unique_users = np.zeros((0,), np.int32)
-            counts = np.zeros((0,), np.int64)
-        u = len(unique_users)
-        max_pos = 1
-        user_pos = np.full((u, 1), num_items, np.int32)
-        pos_count = np.zeros((u,), np.int32)
-        if len(pairs):
-            items_per_user = [
-                np.unique(pairs[inverse == r, 1]) for r in range(u)
-            ]
-            pos_count = np.asarray([len(it) for it in items_per_user], np.int32)
+            # One O(M log M) lexsort; per-user slices come from the sorted
+            # run boundaries (no per-user rescans of the pair list).
+            order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+            su, si = pairs[order, 0], pairs[order, 1]
+            keep = np.ones(len(pairs), bool)
+            keep[1:] = (su[1:] != su[:-1]) | (si[1:] != si[:-1])
+            su, si = su[keep], si[keep]
+            unique_users, starts = np.unique(su, return_index=True)
+            bounds = np.append(starts, len(su))
+            pos_count = np.diff(bounds).astype(np.int32)
+            u = len(unique_users)
             max_pos = max(int(pos_count.max()), 1)
             user_pos = np.full((u, max_pos), num_items, np.int32)
-            for r, it in enumerate(items_per_user):
-                user_pos[r, : len(it)] = it
+            # Scatter sorted items into row-relative columns in one shot.
+            cols = np.arange(len(su)) - np.repeat(starts, pos_count)
+            rows = np.repeat(np.arange(u), pos_count)
+            user_pos[rows, cols] = si
+        else:
+            unique_users = np.zeros((0,), np.int32)
+            pos_count = np.zeros((0,), np.int32)
+            user_pos = np.full((0, 1), num_items, np.int32)
         return cls(
             pairs=pairs,
             num_users=int(num_users),
@@ -91,6 +92,50 @@ class InteractionData(NamedTuple):
         return idx
 
 
+def _is_member(pair_rows: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise membership of ``cand`` [M, K] in the sorted positive rows
+    ``pair_rows`` [M, max_pos] (padded with an id larger than any
+    candidate). A hand-unrolled batched binary search — ⌈log2 max_pos⌉
+    whole-array ``take_along_axis`` gathers — instead of
+    ``vmap(searchsorted)`` (per-row search loops, ~50× slower here) or a
+    dense [M, num_items] membership matrix (OOM at production scale)."""
+    max_pos = pair_rows.shape[1]
+    steps = max(max_pos.bit_length(), 1)
+    lo = jnp.zeros(cand.shape, jnp.int32)
+    hi = jnp.full(cand.shape, max_pos, jnp.int32)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        v = jnp.take_along_axis(pair_rows, mid, axis=1)
+        go_right = v < cand
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    found = jnp.take_along_axis(
+        pair_rows, jnp.minimum(lo, max_pos - 1), axis=1
+    )
+    return found == cand
+
+
+def _complement_rank_select(
+    pair_rows: jnp.ndarray, rank: jnp.ndarray, num_items: int
+) -> jnp.ndarray:
+    """The rank-th smallest item NOT in the row's sorted positive set
+    (order-statistics walk: ans starts at rank and is bumped past every
+    positive ≤ ans; positives are sorted and distinct, pads are
+    num_items). O(max_pos) per draw, exact — replaces a dense-complement
+    cumsum."""
+    max_pos = pair_rows.shape[1]
+
+    def body(j, ans):
+        # [M, 1] column j (sorted ascending over j).
+        p = jax.lax.dynamic_index_in_dim(pair_rows, j, axis=1, keepdims=True)
+        return ans + (p <= ans).astype(ans.dtype)
+
+    ans = jax.lax.fori_loop(0, max_pos, body, rank.astype(jnp.int32))
+    # ans >= num_items only when the complement set is empty (the user
+    # interacted with every item) — no correct negative exists; clamp.
+    return jnp.minimum(ans, num_items - 1)
+
+
 @partial(jax.jit, static_argnums=(3, 4))
 def ng_sample(
     users: jnp.ndarray,
@@ -105,8 +150,8 @@ def ng_sample(
     Args:
         users: [M] int32 user ids (shape carrier; membership comes from
             ``pair_rows``).
-        pair_rows: [M, max_pos] positive item ids per row, padded with
-            ``num_items``.
+        pair_rows: [M, max_pos] **sorted** positive item ids per row
+            (``InteractionData.user_pos`` rows), padded with ``num_items``.
         key: PRNG key.
         num_ng: negatives per row.
         num_items: item-id space size.
@@ -114,16 +159,16 @@ def ng_sample(
     Returns:
         [M, num_ng] int32 negative item ids. Fixed-round rejection first;
         rows where some draw exhausted every round fall back to an exact
-        uniform draw over the complement set under ``lax.cond``, so real
-        interaction matrices pay nothing for the termination guarantee.
+        uniform rank-select over the complement set under ``lax.cond``, so
+        real interaction matrices pay nothing for the termination
+        guarantee. Memory is O(M · num_ng · rounds) — no dense
+        [M, num_items] membership matrix, so full-epoch calls scale to
+        production splits. Degenerate rows whose positives cover the whole
+        item space have no correct negative (the reference's ``while``
+        loop would never terminate); they emit a clamped id — callers can
+        detect them host-side via ``user_pos_count >= num_items``.
     """
     m = users.shape[0]
-    # Membership buffer one column wider than the item space so the pad id
-    # (num_items) scatters into a harmless, always-excluded column.
-    member = jnp.zeros((m, num_items + 1), jnp.float32)
-    member = _scatter_set_rows(member, pair_rows, 1.0)
-    member = member.at[:, num_items].set(1.0)
-
     key_rej, key_fb = jax.random.split(key)
     cand = jax.random.randint(
         key_rej,
@@ -132,24 +177,44 @@ def ng_sample(
         maxval=num_items,
         dtype=jnp.int32,
     )
-    is_pos = jnp.take_along_axis(
-        member, cand.reshape(m, -1), axis=1
-    ).reshape(m, num_ng, NEG_REJECTION_ROUNDS)
-    ok = is_pos == 0.0
+    is_pos = _is_member(pair_rows, cand.reshape(m, -1)).reshape(
+        m, num_ng, NEG_REJECTION_ROUNDS
+    )
+    ok = ~is_pos
     any_ok = jnp.any(ok, axis=-1)  # [M, num_ng]
     first_ok = jnp.argmax(ok, axis=-1)
     neg_rej = jnp.take_along_axis(cand, first_ok[..., None], axis=-1)[..., 0]
 
     def _fallback(_):
+        # Exact uniform draw over each row's complement: complement size
+        # = num_items - #positives, pick a uniform rank, walk the sorted
+        # positives to the rank-th absent item.
+        n_pos = jnp.sum(pair_rows < num_items, axis=1, keepdims=True)
+        comp = jnp.maximum(num_items - n_pos, 1)
         u_fb = jax.random.uniform(key_fb, (m, num_ng))
-        ids, _valid = uniform_zero_draw(member, 0, u_fb)
-        return ids
+        rank = jnp.floor(u_fb * comp).astype(jnp.int32)
+        return _complement_rank_select(pair_rows, rank, num_items)
 
     def _no_fallback(_):
         return jnp.zeros((m, num_ng), jnp.int32)
 
     neg_fb = jax.lax.cond(~jnp.all(any_ok), _fallback, _no_fallback, None)
     return jnp.where(any_ok, neg_rej, neg_fb).astype(jnp.int32)
+
+
+def _warn_degenerate_rows(data: InteractionData) -> None:
+    """Host-side surfacing of the one case ``ng_sample`` cannot satisfy:
+    a user whose positives cover the entire item space (the reference's
+    rejection ``while`` would never terminate there either)."""
+    n_bad = int((data.user_pos_count >= data.num_items).sum())
+    if n_bad:
+        import logging
+
+        logging.getLogger("pmgt_tpu").warning(
+            "%d user(s) interacted with every item — no valid negative "
+            "exists for them; their 'negatives' are clamped positives",
+            n_bad,
+        )
 
 
 def epoch_training_arrays(
@@ -162,6 +227,7 @@ def epoch_training_arrays(
     Returns (users, items, labels) host arrays of length M * (1 + num_ng),
     positives first, then each pair's negatives grouped per pair.
     """
+    _warn_degenerate_rows(data)
     pairs = data.pairs
     m = len(pairs)
     users = pairs[:, 0]
@@ -208,6 +274,7 @@ def build_eval_candidates(
         cand_mask: [U, L] float32 — 1 on valid candidate slots.
         labels: [U, L] float32 — 1 on positive slots.
     """
+    _warn_degenerate_rows(data)
     users = data.unique_users
     u = len(users)
     counts = data.user_pos_count.astype(np.int64)

@@ -36,9 +36,13 @@ from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, from_edges
 logger = logging.getLogger("pmgt_tpu")
 
 
-def _load_reviews(raw_dir: str) -> List[dict]:
-    """Read the first reviews dump found in ``raw_dir`` (json-lines,
-    optionally gzipped)."""
+def _load_reviews(
+    raw_dir: str, keep_text: bool = False
+) -> List[Tuple[str, str, float, str]]:
+    """Stream the first reviews dump found in ``raw_dir`` (json-lines,
+    optionally gzipped) into compact (user, asin, timestamp, text) tuples —
+    only the fields the pipeline uses, so multi-GB category dumps don't
+    cost a dict per review. ``text`` is "" unless ``keep_text``."""
     candidates = [
         os.path.join(raw_dir, n)
         for n in sorted(os.listdir(raw_dir))
@@ -58,8 +62,17 @@ def _load_reviews(raw_dir: str) -> List[dict]:
                 row = json.loads(line)
             except (json.JSONDecodeError, ValueError):
                 continue
-            if row.get("reviewerID") and row.get("asin"):
-                reviews.append(row)
+            user, asin = row.get("reviewerID"), row.get("asin")
+            if not (user and asin):
+                continue
+            reviews.append(
+                (
+                    user,
+                    asin,
+                    float(row.get("unixReviewTime", 0)),
+                    (row.get("reviewText") or "") if keep_text else "",
+                )
+            )
     logger.info("loaded %d reviews from %s", len(reviews), path)
     return reviews
 
@@ -82,7 +95,14 @@ def build_co_review_graph(
     (pmgt_tpu/native/co_review.cpp), falling back to a scipy sparse
     matmul; both paths are equivalence-tested (tests/test_native.py).
     """
-    pairs = {(r["reviewerID"], r["asin"]) for r in reviews}
+    return _graph_from_pairs(
+        {(r["reviewerID"], r["asin"]) for r in reviews}, min_common_users
+    )
+
+
+def _graph_from_pairs(
+    pairs, min_common_users: int
+) -> Tuple[np.ndarray, List[Tuple[int, int, float]]]:
     if not pairs:
         return np.asarray([], dtype=object), []
     users = sorted({u for u, _ in pairs})
@@ -170,7 +190,7 @@ def _fill_table(
 
 
 def _extract_visual(
-    raw_dir, out_dir, dataset_name, node_idx, image_model, device,
+    raw_dir, out_dir, dataset_name, image_model, device,
     visual_model, visual_transform,
 ):
     from pmgt_tpu.data.feature_extraction import (
@@ -243,10 +263,11 @@ def run_preprocess(
 
         download_reviews(dataset_name, raw_dir)
 
-    reviews = _load_reviews(raw_dir)
+    reviews = _load_reviews(raw_dir, keep_text=extract_features)
     cutoff = _split_timestamp(split_date)
-    pre = [r for r in reviews if float(r.get("unixReviewTime", 0)) < cutoff]
-    post = [r for r in reviews if float(r.get("unixReviewTime", 0)) >= cutoff]
+    pre = [r for r in reviews if r[2] < cutoff]
+    post = [r for r in reviews if r[2] >= cutoff]
+    del reviews
     logger.info(
         "temporal split at %s: %d graph reviews / %d interaction reviews",
         split_date,
@@ -254,7 +275,9 @@ def run_preprocess(
         len(post),
     )
 
-    node_items, edges = build_co_review_graph(pre, min_common_users)
+    node_items, edges = _graph_from_pairs(
+        {(u, a) for u, a, _, _ in pre}, min_common_users
+    )
     if not len(node_items):
         raise ValueError(
             "empty co-review graph: lower --min-common-users or check the "
@@ -266,11 +289,7 @@ def run_preprocess(
     # Interactions: post-cutoff (user, item) filtered to graph items
     # (notebook cells 24, 28).
     inter = sorted(
-        {
-            (r["reviewerID"], r["asin"])
-            for r in post
-            if r["asin"] in node_idx
-        }
+        {(u, a) for u, a, _, _ in post if a in node_idx}
     )
     if not inter:
         raise ValueError("no post-split interactions over graph items")
@@ -296,7 +315,7 @@ def run_preprocess(
     if extract_features:
         try:
             feats, mapping = _extract_visual(
-                raw_dir, out_dir, dataset_name, node_idx, image_model,
+                raw_dir, out_dir, dataset_name, image_model,
                 feature_device, visual_model, visual_transform,
             )
             visual = _fill_table(rng, n, node_idx, feats, mapping)
@@ -309,10 +328,9 @@ def run_preprocess(
             )
             visual = _random_table(rng, n, visual_dim)
         node_texts = {}
-        for r in pre:
-            text = r.get("reviewText")
-            if text and r["asin"] in node_idx:
-                node_texts.setdefault(r["asin"], []).append(text)
+        for _, asin, _, text in pre:
+            if text and asin in node_idx:
+                node_texts.setdefault(asin, []).append(text)
         try:
             feats, mapping = _extract_textual(
                 out_dir, dataset_name, node_texts, text_model, feature_device
