@@ -255,3 +255,55 @@ def test_ng_sample_fallback_heavy_user():
             ng_sample(users, pair_rows, jax.random.key(seed), 4, num_items)
         )
         assert (neg == num_items - 1).all(), np.unique(neg)
+
+
+def test_is_member_matches_numpy():
+    """Batched binary search ≡ brute-force membership on random rows."""
+    import jax.numpy as jnp
+
+    from pmgt_tpu.data.interactions import _is_member
+
+    rng = np.random.default_rng(3)
+    m, max_pos, n_items, k = 64, 7, 40, 33
+    rows = np.full((m, max_pos), n_items, np.int32)
+    for r in range(m):
+        c = rng.integers(0, max_pos + 1)
+        rows[r, :c] = np.sort(
+            rng.choice(n_items, size=c, replace=False)
+        )
+    cand = rng.integers(0, n_items, (m, k)).astype(np.int32)
+    got = np.asarray(_is_member(jnp.asarray(rows), jnp.asarray(cand)))
+    expect = np.stack([np.isin(cand[r], rows[r]) for r in range(m)])
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_complement_rank_select_exact():
+    """rank → the rank-th absent item, exactly, for every rank."""
+    import jax.numpy as jnp
+
+    from pmgt_tpu.data.interactions import _complement_rank_select
+
+    num_items = 12
+    rows = np.array(
+        [
+            [0, 3, 4, 9, 12, 12],  # complement: 1,2,5,6,7,8,10,11
+            [12, 12, 12, 12, 12, 12],  # empty positives: complement = all
+            [0, 1, 2, 3, 4, 5],  # complement: 6..11
+        ],
+        np.int32,
+    )
+    complements = [
+        [1, 2, 5, 6, 7, 8, 10, 11],
+        list(range(12)),
+        [6, 7, 8, 9, 10, 11],
+    ]
+    for r, comp in enumerate(complements):
+        ranks = jnp.asarray(
+            np.arange(len(comp), dtype=np.int32)[None, :]
+        )
+        got = np.asarray(
+            _complement_rank_select(
+                jnp.asarray(rows[r : r + 1]), ranks, num_items
+            )
+        )[0]
+        np.testing.assert_array_equal(got, comp)
