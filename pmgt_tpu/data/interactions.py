@@ -4,12 +4,12 @@ Behavioral reference: pmgt/ncf/datasets.py. The reference keeps a scipy
 ``dok_matrix`` and rejection-samples negatives in a Python ``while`` loop
 per pair (ncf/datasets.py:85-101), and builds per-user evaluation candidate
 lists of all positives plus sampled negatives up to ``num_ng``
-(ncf/datasets.py:106-128). Here the interaction set becomes a padded
-per-user positive table so that negative sampling is one jitted
-fixed-round rejection pass with an exact complement-draw fallback (the
-reference's unbounded ``while`` always terminates; the ``lax.cond``-guarded
-fallback keeps that guarantee under fixed shapes without the silent
-emit-a-positive failure mode of plain ``argmax`` selection).
+(ncf/datasets.py:106-128). Here the interaction set becomes a padded table
+of **sorted** per-user positives, and negative sampling draws exactly from
+the reference's limiting distribution — uniform over each row's complement
+set — by order-statistics rank selection (``_complement_rank_select``):
+one uniform per draw, fixed shapes, guaranteed termination, no rejection
+rounds and no dense [users, items] membership matrix.
 
 Membership is **split-local** on purpose: the reference checks candidate
 negatives only against the split's own matrix (``train_mat`` built from the
@@ -24,12 +24,6 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-# The reference retries until a non-positive is found; 16 fixed rounds make
-# a miss astronomically unlikely on real interaction matrices (density
-# ~1e-3), and the exact fallback below covers the rest.
-NEG_REJECTION_ROUNDS = 16
-
 
 class InteractionData(NamedTuple):
     """Padded structure-of-arrays view of a (user, item) interaction split.
@@ -92,29 +86,6 @@ class InteractionData(NamedTuple):
         return idx
 
 
-def _is_member(pair_rows: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
-    """Row-wise membership of ``cand`` [M, K] in the sorted positive rows
-    ``pair_rows`` [M, max_pos] (padded with an id larger than any
-    candidate). A hand-unrolled batched binary search — ⌈log2 max_pos⌉
-    whole-array ``take_along_axis`` gathers — instead of
-    ``vmap(searchsorted)`` (per-row search loops, ~50× slower here) or a
-    dense [M, num_items] membership matrix (OOM at production scale)."""
-    max_pos = pair_rows.shape[1]
-    steps = max(max_pos.bit_length(), 1)
-    lo = jnp.zeros(cand.shape, jnp.int32)
-    hi = jnp.full(cand.shape, max_pos, jnp.int32)
-    for _ in range(steps):
-        mid = (lo + hi) >> 1
-        v = jnp.take_along_axis(pair_rows, mid, axis=1)
-        go_right = v < cand
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    found = jnp.take_along_axis(
-        pair_rows, jnp.minimum(lo, max_pos - 1), axis=1
-    )
-    return found == cand
-
-
 def _complement_rank_select(
     pair_rows: jnp.ndarray, rank: jnp.ndarray, num_items: int
 ) -> jnp.ndarray:
@@ -157,49 +128,26 @@ def ng_sample(
         num_items: item-id space size.
 
     Returns:
-        [M, num_ng] int32 negative item ids. Fixed-round rejection first;
-        rows where some draw exhausted every round fall back to an exact
-        uniform rank-select over the complement set under ``lax.cond``, so
-        real interaction matrices pay nothing for the termination
-        guarantee. Memory is O(M · num_ng · rounds) — no dense
-        [M, num_items] membership matrix, so full-epoch calls scale to
-        production splits. Degenerate rows whose positives cover the whole
-        item space have no correct negative (the reference's ``while``
-        loop would never terminate); they emit a clamped id — callers can
-        detect them host-side via ``user_pos_count >= num_items``.
+        [M, num_ng] int32 negative item ids, each an **exact** uniform
+        draw over the row's complement set — the distribution the
+        reference's unbounded rejection ``while`` converges to — computed
+        directly by rank selection: pick a uniform rank in
+        [0, num_items − #positives), then walk the sorted positives to
+        the rank-th absent item (order statistics, O(max_pos) per draw).
+        One uniform per draw (no rejection rounds, no retry tensor), so
+        memory is O(M · num_ng) and full-protocol eval calls
+        (num_ng=1000) scale to production splits. Degenerate rows whose
+        positives cover the whole item space have no correct negative
+        (the reference's ``while`` loop would never terminate); they emit
+        a clamped id — callers detect them host-side via
+        ``user_pos_count >= num_items``.
     """
     m = users.shape[0]
-    key_rej, key_fb = jax.random.split(key)
-    cand = jax.random.randint(
-        key_rej,
-        (m, num_ng, NEG_REJECTION_ROUNDS),
-        minval=0,
-        maxval=num_items,
-        dtype=jnp.int32,
-    )
-    is_pos = _is_member(pair_rows, cand.reshape(m, -1)).reshape(
-        m, num_ng, NEG_REJECTION_ROUNDS
-    )
-    ok = ~is_pos
-    any_ok = jnp.any(ok, axis=-1)  # [M, num_ng]
-    first_ok = jnp.argmax(ok, axis=-1)
-    neg_rej = jnp.take_along_axis(cand, first_ok[..., None], axis=-1)[..., 0]
-
-    def _fallback(_):
-        # Exact uniform draw over each row's complement: complement size
-        # = num_items - #positives, pick a uniform rank, walk the sorted
-        # positives to the rank-th absent item.
-        n_pos = jnp.sum(pair_rows < num_items, axis=1, keepdims=True)
-        comp = jnp.maximum(num_items - n_pos, 1)
-        u_fb = jax.random.uniform(key_fb, (m, num_ng))
-        rank = jnp.floor(u_fb * comp).astype(jnp.int32)
-        return _complement_rank_select(pair_rows, rank, num_items)
-
-    def _no_fallback(_):
-        return jnp.zeros((m, num_ng), jnp.int32)
-
-    neg_fb = jax.lax.cond(~jnp.all(any_ok), _fallback, _no_fallback, None)
-    return jnp.where(any_ok, neg_rej, neg_fb).astype(jnp.int32)
+    n_pos = jnp.sum(pair_rows < num_items, axis=1, keepdims=True)
+    comp = jnp.maximum(num_items - n_pos, 1)
+    u = jax.random.uniform(key, (m, num_ng))
+    rank = jnp.floor(u * comp).astype(jnp.int32)
+    return _complement_rank_select(pair_rows, rank, num_items)
 
 
 def _warn_degenerate_rows(data: InteractionData) -> None:
@@ -283,15 +231,43 @@ def build_eval_candidates(
         return users, z.astype(np.int32), z, z
     valid = np.maximum(num_ng, counts)
     big_l = int(valid.max())
-    negs = np.asarray(
-        ng_sample(
-            jnp.asarray(users),
-            jnp.asarray(data.user_pos),
-            key,
-            big_l,
-            data.num_items,
+    # Chunk the user axis: the rejection-candidate tensor is
+    # [chunk, L, rounds] (L is max_sample_items=1000 in the NCF protocol),
+    # which at full TG user counts would be ~9 GB in one shot. Chunks are
+    # padded to one fixed shape so ng_sample compiles once.
+    chunk = 4096
+    if u <= chunk:
+        negs = np.asarray(
+            ng_sample(
+                jnp.asarray(users),
+                jnp.asarray(data.user_pos),
+                key,
+                big_l,
+                data.num_items,
+            )
         )
-    )
+    else:
+        neg_parts = []
+        keys = jax.random.split(key, (u + chunk - 1) // chunk)
+        for c, k in enumerate(keys):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            rows = data.user_pos[sl]
+            pad = chunk - len(rows)
+            if pad:
+                rows = np.concatenate(
+                    [rows, np.full((pad,) + rows.shape[1:], data.num_items, np.int32)]
+                )
+            part = np.asarray(
+                ng_sample(
+                    jnp.zeros((chunk,), jnp.int32),
+                    jnp.asarray(rows),
+                    k,
+                    big_l,
+                    data.num_items,
+                )
+            )
+            neg_parts.append(part[: len(data.user_pos[sl])])
+        negs = np.concatenate(neg_parts)
     col = np.arange(big_l)[None, :]
     pos_padded = np.full((u, big_l), data.num_items, np.int32)
     pos_padded[:, : data.user_pos.shape[1]] = data.user_pos

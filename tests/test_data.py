@@ -257,26 +257,6 @@ def test_ng_sample_fallback_heavy_user():
         assert (neg == num_items - 1).all(), np.unique(neg)
 
 
-def test_is_member_matches_numpy():
-    """Batched binary search ≡ brute-force membership on random rows."""
-    import jax.numpy as jnp
-
-    from pmgt_tpu.data.interactions import _is_member
-
-    rng = np.random.default_rng(3)
-    m, max_pos, n_items, k = 64, 7, 40, 33
-    rows = np.full((m, max_pos), n_items, np.int32)
-    for r in range(m):
-        c = rng.integers(0, max_pos + 1)
-        rows[r, :c] = np.sort(
-            rng.choice(n_items, size=c, replace=False)
-        )
-    cand = rng.integers(0, n_items, (m, k)).astype(np.int32)
-    got = np.asarray(_is_member(jnp.asarray(rows), jnp.asarray(cand)))
-    expect = np.stack([np.isin(cand[r], rows[r]) for r in range(m)])
-    np.testing.assert_array_equal(got, expect)
-
-
 def test_complement_rank_select_exact():
     """rank → the rank-th absent item, exactly, for every rank."""
     import jax.numpy as jnp
@@ -307,3 +287,32 @@ def test_complement_rank_select_exact():
             )
         )[0]
         np.testing.assert_array_equal(got, comp)
+
+
+def test_eval_candidates_chunked_path():
+    """>4096 users exercises the chunked negative sampling; protocol
+    invariants must hold across chunk boundaries."""
+    import jax
+
+    from pmgt_tpu.data.interactions import InteractionData, build_eval_candidates
+
+    rng = np.random.default_rng(5)
+    num_users, num_items = 5000, 50
+    pairs = np.stack(
+        [
+            np.arange(num_users, dtype=np.int32),
+            rng.integers(0, num_items, num_users).astype(np.int32),
+        ],
+        axis=1,
+    )
+    data = InteractionData.build(pairs, num_users, num_items)
+    users, cands, mask, labels = build_eval_candidates(
+        data, num_ng=3, key=jax.random.key(2)
+    )
+    assert cands.shape == (num_users, 3)
+    np.testing.assert_array_equal(users, np.arange(num_users))
+    # slot 0 = the positive, slots 1-2 negatives that avoid it
+    np.testing.assert_array_equal(cands[:, 0], data.user_pos[:, 0])
+    np.testing.assert_array_equal(labels[:, 0], 1.0)
+    np.testing.assert_array_equal(mask.sum(1), 3.0)
+    assert not (cands[:, 1:] == cands[:, :1]).any()
