@@ -316,3 +316,32 @@ def test_eval_candidates_chunked_path():
     np.testing.assert_array_equal(labels[:, 0], 1.0)
     np.testing.assert_array_equal(mask.sum(1), 3.0)
     assert not (cands[:, 1:] == cands[:, :1]).any()
+
+
+def test_ng_sample_uniform_over_complement():
+    """Rank-select negatives are statistically uniform over the complement
+    set (the reference rejection loop's limiting distribution)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmgt_tpu.data.interactions import InteractionData, ng_sample
+
+    num_items = 30
+    pos = np.arange(0, 20, 2, dtype=np.int32)  # 10 positives, even ids
+    pairs = np.stack([np.zeros_like(pos), pos], axis=1)
+    data = InteractionData.build(pairs, num_users=1, num_items=num_items)
+
+    draws = np.asarray(
+        ng_sample(
+            jnp.zeros((2000,), jnp.int32),
+            jnp.broadcast_to(jnp.asarray(data.user_pos), (2000, data.user_pos.shape[1])),
+            jax.random.key(0),
+            8,
+            num_items,
+        )
+    ).ravel()
+    complement = sorted(set(range(num_items)) - set(pos.tolist()))
+    assert set(np.unique(draws)) == set(complement)
+    freq = np.bincount(draws, minlength=num_items)[complement] / len(draws)
+    tv = 0.5 * np.abs(freq - 1.0 / len(complement)).sum()
+    assert tv < 0.02, f"TV distance from uniform too high: {tv}"
