@@ -274,6 +274,14 @@ def train_dcn(ctx: click.Context, **raw_args):
     help="run each epoch as one lax.scan dispatch (off = per-step dispatch "
     "with step-level loss logging)",
 )
+@click.option(
+    "--shard-feat-tables",
+    is_flag=True,
+    default=False,
+    help="shard the frozen feature tables' node axis over the device mesh "
+    "(HBM relief at production node counts; XLA inserts the gather "
+    "collectives)",
+)
 @click.pass_context
 def train_pmgt(ctx: click.Context, **raw_args):
     """Pre-train PMGT."""

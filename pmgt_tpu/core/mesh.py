@@ -106,6 +106,31 @@ def replicate_host(mesh: Mesh, tree):
     return jax.tree.map(_rep, tree)
 
 
+def shard_rows_host(mesh: Mesh, array) -> jax.Array:
+    """Place a host array with its leading (row) axis sharded over the data
+    mesh — used for the frozen multimodal feature tables, whose
+    [num_nodes, 1536+768] rows dominate HBM at production node counts
+    (replicating them caps the node count per chip; sharding trades that
+    for an XLA-inserted gather collective over ICI).
+
+    Rows are zero-padded to a multiple of the mesh size; padding rows are
+    never referenced (node ids stay < N+2) and project to zeros.
+    """
+    array = np.asarray(array)
+    n = mesh.size
+    pad = (-array.shape[0]) % n
+    if pad:
+        array = np.concatenate(
+            [array, np.zeros((pad,) + array.shape[1:], array.dtype)]
+        )
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() == 1:
+        return jax.device_put(array, sharding)
+    return jax.make_array_from_callback(
+        array.shape, sharding, lambda idx: array[idx]
+    )
+
+
 def make_mesh(
     num_devices: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,

@@ -140,9 +140,18 @@ class PMGTTask:
         self.graph = PaddedGraph(
             *(replicate_host(self.mesh, np.asarray(a)) for a in artifacts.graph)
         )
+        # Frozen feature tables: replicated by default; optionally
+        # row-sharded over the mesh for HBM relief at production node
+        # counts (--shard-feat-tables). The jitted step is placement-
+        # agnostic — XLA inserts the gather collectives.
+        if args.extra.get("shard_feat_tables"):
+            from pmgt_tpu.core.mesh import shard_rows_host
+
+            place_table = lambda t: shard_rows_host(self.mesh, t)  # noqa: E731
+        else:
+            place_table = lambda t: replicate_host(self.mesh, np.asarray(t))  # noqa: E731
         self.feat_tables = [
-            replicate_host(self.mesh, np.asarray(t))
-            for t in artifacts.feat_init_embs
+            place_table(np.asarray(t)) for t in artifacts.feat_init_embs
         ]
 
         # Parameters + optimizer.
