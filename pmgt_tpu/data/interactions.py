@@ -145,8 +145,11 @@ def ng_sample(
     m = users.shape[0]
     n_pos = jnp.sum(pair_rows < num_items, axis=1, keepdims=True)
     comp = jnp.maximum(num_items - n_pos, 1)
-    u = jax.random.uniform(key, (m, num_ng))
-    rank = jnp.floor(u * comp).astype(jnp.int32)
+    # Integer rank draw (randint broadcasts the per-row maxval): exact up
+    # to ~comp/2^32 modulo bias. floor(float32_uniform * comp) would
+    # quantize ranks onto a 2^23 grid — measurably non-uniform at
+    # production item counts and unable to reach items past 8.4M.
+    rank = jax.random.randint(key, (m, num_ng), 0, comp, dtype=jnp.int32)
     return _complement_rank_select(pair_rows, rank, num_items)
 
 
@@ -231,10 +234,10 @@ def build_eval_candidates(
         return users, z.astype(np.int32), z, z
     valid = np.maximum(num_ng, counts)
     big_l = int(valid.max())
-    # Chunk the user axis: the rejection-candidate tensor is
-    # [chunk, L, rounds] (L is max_sample_items=1000 in the NCF protocol),
-    # which at full TG user counts would be ~9 GB in one shot. Chunks are
-    # padded to one fixed shape so ng_sample compiles once.
+    # Chunk the user axis so the [users, L] draw tensors (L is
+    # max_sample_items=1000 in the NCF protocol) stay bounded at
+    # production user counts. Chunks are padded to one fixed shape so
+    # ng_sample compiles once.
     chunk = 4096
     if u <= chunk:
         negs = np.asarray(

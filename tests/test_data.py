@@ -234,9 +234,9 @@ def test_preprocess_weight_formula():
 
 
 def test_ng_sample_fallback_heavy_user():
-    """A user who interacted with all items but one: every negative must be
-    that one item (fixed-round rejection alone misses with prob ~(29/30)^16
-    per draw and would silently emit a positive)."""
+    """A user who interacted with all items but one: every negative must
+    be that one item (the complement rank-select walk must land on the
+    single absent id; a sampler that could emit positives would fail)."""
     import jax
     import jax.numpy as jnp
 

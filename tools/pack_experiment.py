@@ -81,8 +81,7 @@ def encoder_packed(params, x):
     return (flat.astype(jnp.float32) ** 2).mean()
 
 
-def bench(fn, params, x, n=30):
-    g = jax.jit(jax.grad(fn))
+def bench(g, params, x, n=30):
     out = g(params, x)
     jax.block_until_ready(out)
     t0 = time.time()
@@ -101,7 +100,8 @@ def main():
         ("unpacked [B,S,H]", encoder_unpacked),
         ("packed   [B*S,H]", encoder_packed),
     ):
-        ts = [bench(fn, params, x) for _ in range(3)]
+        g = jax.jit(jax.grad(fn))  # compile once per variant
+        ts = [bench(g, params, x) for _ in range(3)]
         times[name] = float(np.median(ts))
         print(f"{name}: fwd+bwd {times[name]:.3f} ms (runs: {ts})")
     ratio = times["unpacked [B,S,H]"] / times["packed   [B*S,H]"]
