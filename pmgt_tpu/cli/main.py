@@ -282,6 +282,13 @@ def train_dcn(ctx: click.Context, **raw_args):
     "(HBM relief at production node counts; XLA inserts the gather "
     "collectives)",
 )
+@click.option(
+    "--feat-tables-dtype",
+    type=click.Choice(["float32", "bfloat16"]),
+    default="float32",
+    help="storage dtype of the frozen feature tables (bfloat16 halves "
+    "HBM footprint and the per-step full-table projection read)",
+)
 @click.pass_context
 def train_pmgt(ctx: click.Context, **raw_args):
     """Pre-train PMGT."""

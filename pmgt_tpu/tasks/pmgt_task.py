@@ -140,18 +140,31 @@ class PMGTTask:
         self.graph = PaddedGraph(
             *(replicate_host(self.mesh, np.asarray(a)) for a in artifacts.graph)
         )
-        # Frozen feature tables: replicated by default; optionally
-        # row-sharded over the mesh for HBM relief at production node
-        # counts (--shard-feat-tables). The jitted step is placement-
-        # agnostic — XLA inserts the gather collectives.
+        # Frozen feature tables: replicated fp32 by default; two HBM
+        # levers for production node counts, composable and both leaving
+        # the jitted step untouched (XLA inserts gather collectives /
+        # convert ops as needed):
+        #   --shard-feat-tables   row-shards the node axis over the mesh
+        #   --feat-tables-dtype bfloat16   halves storage and the
+        #     per-step full-table projection read (the tables are frozen
+        #     inputs; losses still reduce in fp32)
+        table_dtype = str(args.extra.get("feat_tables_dtype", "float32"))
+        if table_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"invalid feat_tables_dtype {table_dtype}")
+        if table_dtype == "bfloat16":
+            import ml_dtypes
+
+            cast = lambda t: np.asarray(t).astype(ml_dtypes.bfloat16)  # noqa: E731
+        else:
+            cast = lambda t: np.asarray(t)  # noqa: E731
         if args.extra.get("shard_feat_tables"):
             from pmgt_tpu.core.mesh import shard_rows_host
 
             place_table = lambda t: shard_rows_host(self.mesh, t)  # noqa: E731
         else:
-            place_table = lambda t: replicate_host(self.mesh, np.asarray(t))  # noqa: E731
+            place_table = lambda t: replicate_host(self.mesh, t)  # noqa: E731
         self.feat_tables = [
-            place_table(np.asarray(t)) for t in artifacts.feat_init_embs
+            place_table(cast(t)) for t in artifacts.feat_init_embs
         ]
 
         # Parameters + optimizer.

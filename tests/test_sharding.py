@@ -158,3 +158,42 @@ def test_sharded_feat_tables_parity(art):
     m_rep = task_rep.evaluate(task_rep.state, "valid")
     m_sh = task_sh.evaluate(task_sh.state, "valid")
     assert m_sh["val/auc"] == pytest.approx(m_rep["val/auc"], abs=2e-4)
+
+
+def test_bf16_feat_tables(art):
+    """--feat-tables-dtype bfloat16: the step runs with half-width frozen
+    tables and the loss stays close to the fp32-table loss."""
+    from pmgt_tpu.core.config import TrainArgs
+    from pmgt_tpu.tasks.pmgt_task import PMGTTask
+
+    def build(dtype):
+        args = TrainArgs(
+            model_name="PMGT",
+            dataset_name="syn",
+            seed=0,
+            num_epochs=1,
+            train_batch_size=16,
+            test_batch_size=16,
+            lr=1e-2,
+            num_devices=4,
+            extra=dict(
+                hidden_size=8,
+                intermediate_size=8,
+                num_hidden_layers=1,
+                hop_sampling_sizes=(3, 2),
+                max_ctx_neigh=3,
+                feat_tables_dtype=dtype,
+                shard_feat_tables=True,  # compose both HBM levers
+            ),
+        )
+        nodes = np.arange(2, 42, dtype=np.int32)
+        return PMGTTask(args, art, nodes[:32], nodes[32:])
+
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        task = build(dtype)
+        assert str(task.feat_tables[0].dtype) == dtype
+        batch = next(iter(task.train_batches(0)))
+        _, metrics = task.train_step(task.state, batch)
+        losses[dtype] = float(jax.device_get(metrics["loss"]))
+    assert losses["bfloat16"] == pytest.approx(losses["float32"], rel=5e-2)
