@@ -53,7 +53,8 @@ def build_workload(seed: int = 0):
 
 
 def measure_tpu(
-    art, batch_size: int, attention_impl=None, ctx_cache: bool = True
+    art, batch_size: int, attention_impl=None, ctx_cache: bool = True,
+    feat_tables_dtype: str = "float32",
 ) -> dict:
     """Sustained training throughput: full epochs including the per-epoch
     context/pair cache refresh (nothing amortized away). With
@@ -80,6 +81,7 @@ def measure_tpu(
             num_hidden_layers=5,
             num_attention_heads=1,
             ctx_cache=ctx_cache,
+            feat_tables_dtype=feat_tables_dtype,
             **({"attention_impl": attention_impl} if attention_impl else {}),
         ),
     )
@@ -217,6 +219,9 @@ def main():
                         "semantics) measurement")
     parser.add_argument("--no-ctx-cache", action="store_true",
                         help="measure ONLY exact per-occurrence sampling")
+    parser.add_argument("--feat-tables-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="storage dtype of the frozen feature tables")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -227,6 +232,7 @@ def main():
     result = measure_tpu(
         art, args.batch_size, args.attention_impl,
         ctx_cache=not args.no_ctx_cache,
+        feat_tables_dtype=args.feat_tables_dtype,
     )
     if args.verbose:
         print("tpu:", result, file=sys.stderr)
