@@ -43,14 +43,21 @@ class PaddedGraph(NamedTuple):
     degrees: np.ndarray  # [N+2] int32
     alias_prob: np.ndarray  # [N+2, max_deg] float32
     alias_idx: np.ndarray  # [N+2, max_deg] int32
-    # Flat draw tables [(N+2)*max_deg] int32, indexed by node*max_deg+slot.
-    # Kept as three separate flat arrays: TPU dynamic gather hits its fast
-    # path only when the operand is an unmodified program parameter — a
-    # [M,3] row gather, a sliced [3,M] operand, or a captured constant all
-    # measure ~1000x slower (see tests/test_sampling.py gather notes).
+    # Flat draw tables [(N+2)*max_deg] int32, indexed by node*max_deg+slot
+    # — the element-gather draw path, used when max_deg is large (row
+    # gathers would move O(max_deg) per draw).
     alias_primary: np.ndarray  # primary neighbor id per (node, slot)
     alias_alias: np.ndarray  # alias neighbor id (slot pre-resolved)
     alias_prob_bits: np.ndarray  # accept probability, f32 bitcast to int32
+    # Row draw tables — the row-gather draw path for small max_deg.
+    # Honest device traces (round 2) show TPU *row* gathers run ~7x
+    # faster than the same draws as flat element gathers (6 ms vs 43 ms
+    # for the hop-3 refresh gather at [1.39M rows x32] vs [5.5M elems]),
+    # so each frontier row is fetched once and slots are selected in
+    # registers via one-hot reduction. ``draw_ids`` carries the degree in
+    # its last column so the draw needs no separate degree gather.
+    draw_ids: np.ndarray  # [N+2, max_deg+1] int32 (nbr ids + degree col)
+    alias_node: np.ndarray  # [N+2, max_deg] int32 (alias ids, 2-D)
 
     @property
     def num_nodes(self) -> int:
@@ -86,8 +93,8 @@ class PaddedGraph(NamedTuple):
                 alias_prob, alias_idx = _build_alias_tables(
                     data["nbr_logits"], data["degrees"]
                 )
-            primary, alias_node, prob_bits = _pack_alias(
-                data["nbr_ids"], alias_prob, alias_idx
+            packed = _pack_alias(
+                data["nbr_ids"], alias_prob, alias_idx, data["degrees"]
             )
             return cls(
                 nbr_ids=data["nbr_ids"],
@@ -95,9 +102,11 @@ class PaddedGraph(NamedTuple):
                 degrees=data["degrees"],
                 alias_prob=alias_prob,
                 alias_idx=alias_idx,
-                alias_primary=primary,
-                alias_alias=alias_node,
-                alias_prob_bits=prob_bits,
+                alias_primary=packed[0],
+                alias_alias=packed[1],
+                alias_prob_bits=packed[2],
+                draw_ids=packed[3],
+                alias_node=packed[4],
             )
 
 
@@ -158,25 +167,31 @@ def from_edges(
     nbr_logits[1, 0] = 0.0
 
     alias_prob, alias_idx = _build_alias_tables(nbr_logits, degrees)
-    primary, alias_node, prob_bits = _pack_alias(nbr_ids, alias_prob, alias_idx)
+    packed = _pack_alias(nbr_ids, alias_prob, alias_idx, degrees)
     return PaddedGraph(
         nbr_ids=nbr_ids,
         nbr_logits=nbr_logits,
         degrees=degrees,
         alias_prob=alias_prob,
         alias_idx=alias_idx,
-        alias_primary=primary,
-        alias_alias=alias_node,
-        alias_prob_bits=prob_bits,
+        alias_primary=packed[0],
+        alias_alias=packed[1],
+        alias_prob_bits=packed[2],
+        draw_ids=packed[3],
+        alias_node=packed[4],
     )
 
 
 def _pack_alias(
-    nbr_ids: np.ndarray, alias_prob: np.ndarray, alias_idx: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Flat per-(node, slot) draw tables. The alias *slot* index is
-    resolved to the alias *neighbor id* here, removing a dependent
-    gather."""
+    nbr_ids: np.ndarray,
+    alias_prob: np.ndarray,
+    alias_idx: np.ndarray,
+    degrees: np.ndarray,
+) -> Tuple[np.ndarray, ...]:
+    """Draw tables for both gather strategies (see PaddedGraph field
+    docs): flat per-(node, slot) arrays and 2-D row tables with the alias
+    *slot* index resolved to the alias *neighbor id* (removing a
+    dependent gather)."""
     n_total, max_deg = nbr_ids.shape
     if n_total * max_deg >= 2**31:
         # The jitted sampler forms flat int32 indices node*max_deg+slot
@@ -189,12 +204,17 @@ def _pack_alias(
             "pass max_degree to cap the neighbor lists"
         )
     alias_node = np.take_along_axis(nbr_ids, alias_idx, axis=1)
+    draw_ids = np.concatenate(
+        [nbr_ids, degrees[:, None].astype(np.int32)], axis=1
+    )
     return (
         np.ascontiguousarray(nbr_ids.reshape(-1), np.int32),
         np.ascontiguousarray(alias_node.reshape(-1), np.int32),
         np.ascontiguousarray(
             alias_prob.astype(np.float32).reshape(-1).view(np.int32)
         ),
+        np.ascontiguousarray(draw_ids, np.int32),
+        np.ascontiguousarray(alias_node, np.int32),
     )
 
 

@@ -303,6 +303,17 @@ class PMGTLayer(nn.Module):
         attn = PMGTSelfAttention(cfg, name="self_attention")(
             hidden, additive_mask, deterministic
         )
+
+        # Lane packing: run the dense/LN/GELU segment on [B*S, H].
+        # The short sequence axis (S = 1 + max_ctx_neigh = 6) maps to the
+        # 8-row sublane tile and wastes 25% of every elementwise op on
+        # [B, 6, H]; [B*S, H] tiles perfectly and the reshapes are
+        # layout-preserving bitcasts. Measured fwd+bwd 1.14x on the
+        # FFN/LN segment at [6144, 6, 128] (tools/pack_experiment.py).
+        # Parameter shapes are unchanged (Dense/LN act on the last dim).
+        # NB: attn's width can differ from hidden_size under head pruning.
+        b, s, _ = attn.shape
+        attn = attn.reshape(b * s, attn.shape[-1])
         attn = nn.Dense(
             cfg.hidden_size,
             kernel_init=_normal_init(cfg.initializer_range),
@@ -314,7 +325,7 @@ class PMGTLayer(nn.Module):
         )
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=dtype, name="attention_norm"
-        )(attn + hidden)
+        )(attn + hidden.reshape(b * s, hidden.shape[-1]))
 
         inter = nn.Dense(
             cfg.intermediate_size,
@@ -333,9 +344,10 @@ class PMGTLayer(nn.Module):
         out = nn.Dropout(cfg.hidden_dropout_prob)(
             out, deterministic=deterministic
         )
-        return nn.LayerNorm(
+        out = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=dtype, name="output_norm"
         )(out + hidden)
+        return out.reshape(b, s, -1)
 
 
 class PMGTModel(nn.Module):

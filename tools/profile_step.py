@@ -40,39 +40,88 @@ key = jax.random.key(0)
 
 
 def timeit(name, fn, *a, n=30):
+    """Time fn as ONE jitted lax.scan of n iterations with a per-iteration
+    folded key (the last positional arg must be a PRNG key), reduced to a
+    scalar that is fetched once.
+
+    Anything else lies through the axon tunnel: work whose results are
+    never read is deferred/elided (4x more work measured "faster" with
+    block_until_ready timing), per-call dispatch pays tunnel RTT, and
+    loop-invariant identical calls get hoisted. All arrays must be passed
+    through *a (NOT closed over): captured operands would become jit
+    constants and push the sampler gathers off their fast path
+    (CLAUDE.md rule).
+    """
+    assert a and isinstance(a[-1], jax.Array) and jnp.issubdtype(
+        a[-1].dtype, jax.dtypes.prng_key
+    ), f"{name}: last arg must be a PRNG key"
+
+    @jax.jit
+    def run(*args):
+        head, key = args[:-1], args[-1]
+
+        def body(acc, i):
+            out = fn(*head, jax.random.fold_in(key, i))
+            first = jax.tree.leaves(out)[0]
+            return acc + jnp.sum(first.astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+        return acc
+
     t0 = time.time()
-    jax.block_until_ready(fn(*a))
+    float(run(*a))  # compile + warm (the fetch forces execution)
     ct = time.time() - t0
     t0 = time.time()
-    for _ in range(n):
-        out = fn(*a)
-    jax.block_until_ready(out)
+    float(run(*a))
     t = (time.time() - t0) / n
-    print(f"{name:44s} {t*1000:8.2f} ms  (compile {ct:.0f}s)")
+    print(f"{name:44s} {t*1000:8.2f} ms  (compile+warm {ct:.0f}s)")
 
 
-ctx = task._sample_all_fn(jax.random.key(1))
-timeit("sample_all_contexts (N=10836)", task._sample_all_fn, jax.random.key(2), n=5)
-timeit("sample_pairs (B)", jax.jit(lambda t, k: sample_pairs(graph, t, k, scfg, True)), targets, key)
-timeit("make_batch_cached (B)", jax.jit(
-    lambda t, k: make_pretrain_batch_cached(graph, ctx[0], ctx[1], t, k, scfg, True)), targets, key)
+ctx = task._get_ctx(("train", 0))
+key = jax.random.key(9)
+timeit(
+    "sample_all_contexts (N=10836)",
+    lambda g, nodes, k: task._sample_all_fn(g, nodes, k),
+    graph, task._all_nodes, key, n=5,
+)
+timeit(
+    "sample_all_pairs (N=10836)",
+    lambda g, k: task._sample_pairs_train_fn(g, k),
+    graph, key, n=5,
+)
+timeit(
+    "sample_pairs (B)",
+    lambda g, t, k: sample_pairs(g, t, k, scfg, True),
+    graph, targets, key,
+)
+timeit(
+    "make_batch_cached (B)",
+    lambda g, c, t, k: make_pretrain_batch_cached(
+        g, c[0], c[1], t, k, scfg, True, pair_cache=c[2]
+    ),
+    graph, ctx, targets, key,
+)
 
-batch = jax.jit(lambda t, k: make_pretrain_batch_cached(graph, ctx[0], ctx[1], t, k, scfg, True))(targets, key)
 
-def fwd_only(params, b):
-    out = task.model.apply({"params": params}, task.feat_tables, b,
-                           deterministic=True, compute_nfr=False)
-    return out.loss
-
-timeit("encoder fwd only (no NFR)", jax.jit(fwd_only), task.state.params, batch)
-
-def fwd_bwd(params, b, k):
+def fwd_bwd(params, tables, g, c, t, k):
     def loss(p):
-        out = task.model.apply({"params": p}, task.feat_tables, b,
+        batch = make_pretrain_batch_cached(
+            g, c[0], c[1], t, k, scfg, True, pair_cache=c[2]
+        )
+        out = task.model.apply({"params": p}, tables, batch,
                                deterministic=False, compute_nfr=True,
                                rngs={"dropout": k, "corruption": k})
         return out.loss
     return jax.grad(loss)(params)
 
-timeit("fwd+bwd (with NFR, dropout)", jax.jit(fwd_bwd), task.state.params, batch, key)
-timeit("full train step", lambda: task._train_step_fn(task.state, targets, key, ctx), n=30)
+
+timeit(
+    "fwd+bwd (incl batch gathers, NFR, dropout)",
+    fwd_bwd,
+    task.state.params, task.feat_tables, graph, ctx, targets, key,
+)
+timeit(
+    "full train step (no donation)",
+    lambda s, g, c, t, k: task._train_step_impl(s, t, k, c, accum=1),
+    task.state, graph, ctx, targets, key,
+)
