@@ -58,6 +58,11 @@ class PaddedGraph(NamedTuple):
     # its last column so the draw needs no separate degree gather.
     draw_ids: np.ndarray  # [N+2, max_deg+1] int32 (nbr ids + degree col)
     alias_node: np.ndarray  # [N+2, max_deg] int32 (alias ids, 2-D)
+    # Ascending per-row neighbor ids padded with N+2 (an id past the
+    # range) — negative pair sampling draws exactly from the complement
+    # of this set by order-statistics rank selection (sampling/pairs.py),
+    # replacing a dense [B, N] membership scatter.
+    nbr_sorted: np.ndarray  # [N+2, max_deg] int32
 
     @property
     def num_nodes(self) -> int:
@@ -107,6 +112,7 @@ class PaddedGraph(NamedTuple):
                 alias_prob_bits=packed[2],
                 draw_ids=packed[3],
                 alias_node=packed[4],
+                nbr_sorted=packed[5],
             )
 
 
@@ -179,6 +185,7 @@ def from_edges(
         alias_prob_bits=packed[2],
         draw_ids=packed[3],
         alias_node=packed[4],
+        nbr_sorted=packed[5],
     )
 
 
@@ -207,6 +214,10 @@ def _pack_alias(
     draw_ids = np.concatenate(
         [nbr_ids, degrees[:, None].astype(np.int32)], axis=1
     )
+    slot_valid = np.arange(max_deg)[None, :] < degrees[:, None]
+    nbr_sorted = np.sort(
+        np.where(slot_valid, nbr_ids, n_total), axis=1
+    ).astype(np.int32)
     return (
         np.ascontiguousarray(nbr_ids.reshape(-1), np.int32),
         np.ascontiguousarray(alias_node.reshape(-1), np.int32),
@@ -215,6 +226,7 @@ def _pack_alias(
         ),
         np.ascontiguousarray(draw_ids, np.int32),
         np.ascontiguousarray(alias_node, np.int32),
+        np.ascontiguousarray(nbr_sorted, np.int32),
     )
 
 

@@ -250,6 +250,39 @@ def sample_context_dense(
     return node_ids, attention_mask
 
 
+def complement_rank_select(
+    sorted_rows: jnp.ndarray,
+    rank: jnp.ndarray,
+    lo: int,
+    hi: int,
+) -> jnp.ndarray:
+    """The rank-th smallest id in [lo, hi) NOT present in the row's
+    sorted member set (order-statistics walk: ans starts at lo + rank and
+    is bumped past every member ≤ ans; members are sorted ascending and
+    distinct, pads must be ≥ hi).
+
+    O(row_width) per draw with no dense [rows, hi] membership buffer —
+    drawing a uniform rank in [0, hi - lo - row_count) gives an *exact*
+    uniform sample over the complement (the distribution a rejection
+    ``while`` loop converges to).
+
+    Args:
+        sorted_rows: [M, W] ascending member ids, padded with ≥ hi.
+        rank: [M, K] int ranks.
+    Returns:
+        [M, K] int32 ids, clamped to hi - 1 when the complement is empty.
+    """
+
+    def body(j, ans):
+        p = jax.lax.dynamic_index_in_dim(sorted_rows, j, axis=1, keepdims=True)
+        return ans + (p <= ans).astype(ans.dtype)
+
+    ans = jax.lax.fori_loop(
+        0, sorted_rows.shape[1], body, lo + rank.astype(jnp.int32)
+    )
+    return jnp.minimum(ans, hi - 1)
+
+
 def uniform_zero_draw(
     member: jnp.ndarray, lo: int, u: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -12,12 +12,12 @@ TPU-native differences:
 - Everything is fixed-shape: pairs live in a dense [B, P] tensor with a
   validity mask instead of the reference's ragged ``num_pairs`` flattening
   (datasets.py:186-208).
-- Without-replacement sampling uses random-key top-k over the padded
-  neighbor list; rejection sampling draws a fixed number of rounds and
-  takes the first non-neighbor. Draws that miss in every round (possible
-  on dense graphs / heavy nodes) fall back to an exact uniform draw over
-  the complement set (``uniform_zero_draw``), matching the reference's
-  unbounded-``while`` termination guarantee.
+- Without-replacement positive sampling uses random-key top-k over the
+  padded neighbor list; negatives are exact uniform draws over the
+  non-neighbor set via order-statistics rank selection
+  (``complement_rank_select``) — the distribution the reference's
+  unbounded rejection ``while`` converges to, with guaranteed
+  termination under static shapes.
 """
 from __future__ import annotations
 
@@ -28,11 +28,7 @@ import jax.numpy as jnp
 
 from pmgt_tpu.core.config import SamplingConfig
 from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
-from pmgt_tpu.sampling.mcn import (
-    sample_context,
-    uniform_zero_draw,
-    _scatter_set_rows,
-)
+from pmgt_tpu.sampling.mcn import complement_rank_select, sample_context
 
 
 class PretrainBatch(NamedTuple):
@@ -75,7 +71,7 @@ def sample_pairs(
     )
     total = cfg.max_total_samples if is_training else 2
 
-    key_pos, key_neg, key_fb = jax.random.split(key, 3)
+    key_pos, key_neg = jax.random.split(key)
 
     # --- positives: uniform without replacement over direct neighbors ---
     t_nbrs = nbr_ids[targets]  # [B, D]
@@ -90,53 +86,24 @@ def sample_pairs(
     pos_slot = jnp.arange(max_pos)[None, :] < num_pos[:, None]
     pos_nodes = jnp.where(pos_slot, pos_nodes, 0)
 
-    # --- negatives: fixed-round rejection sampling --------------------
-    # Dense membership of each target's neighborhood: [B, N_total] bool.
-    member = jnp.zeros((batch, n_total), dtype=jnp.float32)
-    member = _scatter_set_rows(member, t_nbrs, 1.0)
-    # <pad> may have been marked via padded neighbor slots; clear specials
-    # so they never influence candidate checks (candidates are >= 2 anyway).
-    member = member.at[:, :NUM_SPECIAL_NODES].set(0.0)
-
-    rounds = cfg.neg_rejection_rounds
-    cand = jax.random.randint(
-        key_neg,
-        (batch, total, rounds),
-        minval=NUM_SPECIAL_NODES,
-        maxval=n_total,
-        dtype=jnp.int32,
+    # --- negatives: exact uniform over the non-neighbor set -----------
+    # Order-statistics rank selection over the sorted neighbor rows (the
+    # distribution the reference's rejection ``while`` converges to,
+    # reference datasets.py:173-180): draw a uniform rank in
+    # [0, |[2, N+2) \ neighbors|), walk the sorted neighbors to the
+    # rank-th absent id. One randint per draw, O(max_deg) walk, no dense
+    # [B, N_total] membership scatter and no silent-positive mode.
+    t_sorted = jnp.asarray(graph.nbr_sorted)[targets]  # [B, D] row gather
+    comp = n_total - NUM_SPECIAL_NODES - t_deg[:, None]  # [B, 1]
+    rank = jax.random.randint(
+        key_neg, (batch, total), 0, jnp.maximum(comp, 1), dtype=jnp.int32
     )
-    is_nbr = jnp.take_along_axis(
-        member, cand.reshape(batch, -1), axis=1
-    ).reshape(batch, total, rounds)
-    ok = is_nbr == 0.0
-    any_ok = jnp.any(ok, axis=-1)  # [B, total]
-    first_ok = jnp.argmax(ok, axis=-1)  # [B, total]
-    neg_rej = jnp.take_along_axis(cand, first_ok[..., None], axis=-1)[..., 0]
-
-    # Exact fallback for draws where every round hit a neighbor — without
-    # it argmax returns slot 0's candidate, silently emitting a *positive*
-    # as a negative ((deg/N)^rounds per draw; ~18% for deg/N=0.9). The
-    # complement rank-select (cumsum over [B, N] + binary searches) runs
-    # under lax.cond so real graphs — where the rejection rounds
-    # essentially never all miss — pay nothing for the guarantee.
-    def _fallback(_):
-        u_fb = jax.random.uniform(key_fb, (batch, total))
-        return uniform_zero_draw(member, NUM_SPECIAL_NODES, u_fb)
-
-    def _no_fallback(_):
-        return (
-            jnp.full((batch, total), NUM_SPECIAL_NODES, jnp.int32),
-            jnp.ones((batch, total), bool),
-        )
-
-    neg_fb, fb_valid = jax.lax.cond(
-        ~jnp.all(any_ok), _fallback, _no_fallback, None
+    neg_nodes = complement_rank_select(
+        t_sorted, rank, NUM_SPECIAL_NODES, n_total
     )
-    neg_nodes = jnp.where(any_ok, neg_rej, neg_fb)
     # Invalid only when the complement is empty (target adjacent to every
     # node) — then no correct negative exists and the slot is masked out.
-    neg_ok = (any_ok | fb_valid).astype(jnp.float32)
+    neg_ok = jnp.broadcast_to(comp > 0, (batch, total)).astype(jnp.float32)
 
     # --- lay out pos slots first, negatives fill the rest -------------
     slot = jnp.arange(total)[None, :]  # [1, P]
@@ -283,8 +250,7 @@ def sample_all_pairs(
     """Sample pos/neg pairs for ALL nodes once (per epoch) → tables
     [N_total, P]. Same refresh rate as the reference (each node is a
     target once per epoch and re-draws its pairs then,
-    reference datasets.py:113-165); chunked so the rejection-sampling
-    membership buffer stays [chunk, N]."""
+    reference datasets.py:113-165)."""
     p = cfg.max_total_samples if is_training else 2
     outs = []
     n_chunks = (num_total + chunk_size - 1) // chunk_size
