@@ -43,7 +43,9 @@ def test_two_process_training_step():
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        # Generous: the two processes share one pool CPU with whatever
+        # else runs on the box; 600 s timed out under load (observed).
+        out, err = p.communicate(timeout=1500)
         assert p.returncode == 0, f"rc={p.returncode}\n{err[-3000:]}"
         outs.append(out)
 
