@@ -96,9 +96,6 @@ class SamplingConfig:
     hop_sampling_sizes: Tuple[int, ...] = (16, 8, 4)
     max_total_samples: int = 10  # pos + neg pairs per target (training)
     min_neg_samples: int = 5
-    # Fixed number of redraws used to emulate rejection sampling of
-    # negatives with static shapes (see sampling/pairs.py).
-    neg_rejection_rounds: int = 16
 
     def __post_init__(self):
         object.__setattr__(

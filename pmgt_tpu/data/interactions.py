@@ -89,22 +89,13 @@ class InteractionData(NamedTuple):
 def _complement_rank_select(
     pair_rows: jnp.ndarray, rank: jnp.ndarray, num_items: int
 ) -> jnp.ndarray:
-    """The rank-th smallest item NOT in the row's sorted positive set
-    (order-statistics walk: ans starts at rank and is bumped past every
-    positive ≤ ans; positives are sorted and distinct, pads are
-    num_items). O(max_pos) per draw, exact — replaces a dense-complement
-    cumsum."""
-    max_pos = pair_rows.shape[1]
+    """The rank-th smallest item NOT in the row's sorted positive set —
+    the shared order-statistics walk (sampling/mcn.py
+    ``complement_rank_select``) over [0, num_items); positives are sorted
+    and distinct, pads are num_items."""
+    from pmgt_tpu.sampling.mcn import complement_rank_select
 
-    def body(j, ans):
-        # [M, 1] column j (sorted ascending over j).
-        p = jax.lax.dynamic_index_in_dim(pair_rows, j, axis=1, keepdims=True)
-        return ans + (p <= ans).astype(ans.dtype)
-
-    ans = jax.lax.fori_loop(0, max_pos, body, rank.astype(jnp.int32))
-    # ans >= num_items only when the complement set is empty (the user
-    # interacted with every item) — no correct negative exists; clamp.
-    return jnp.minimum(ans, num_items - 1)
+    return complement_rank_select(pair_rows, rank, 0, num_items)
 
 
 @partial(jax.jit, static_argnums=(3, 4))

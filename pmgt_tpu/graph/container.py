@@ -132,15 +132,22 @@ def from_edges(
             neighbors (a controlled deviation from the reference, which has
             no cap; use None for exact parity).
     """
-    adj_ids: list[list[int]] = [[] for _ in range(num_nodes)]
-    adj_ws: list[list[float]] = [[] for _ in range(num_nodes)]
+    # Duplicate (u, v) listings overwrite (last weight wins) and
+    # self-loops are dropped — networkx.Graph semantics, which the
+    # reference's gpickle graphs follow. Distinct per-row neighbor ids
+    # are also a hard requirement of the exact complement rank-select
+    # negative sampler (sampling/pairs.py): duplicates would bias its
+    # complement counts.
+    adj: list[dict[int, float]] = [{} for _ in range(num_nodes)]
     for u, v, w in edges:
         if not (0 <= u < num_nodes and 0 <= v < num_nodes):
             raise ValueError(f"edge ({u},{v}) out of range [0,{num_nodes})")
-        adj_ids[u].append(v + NUM_SPECIAL_NODES)
-        adj_ws[u].append(float(w))
-        adj_ids[v].append(u + NUM_SPECIAL_NODES)
-        adj_ws[v].append(float(w))
+        if u == v:
+            continue
+        adj[u][v + NUM_SPECIAL_NODES] = float(w)
+        adj[v][u + NUM_SPECIAL_NODES] = float(w)
+    adj_ids = [list(a.keys()) for a in adj]
+    adj_ws = [list(a.values()) for a in adj]
 
     if max_degree is not None:
         for n in range(num_nodes):

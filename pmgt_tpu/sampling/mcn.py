@@ -283,44 +283,6 @@ def complement_rank_select(
     return jnp.minimum(ans, hi - 1)
 
 
-def uniform_zero_draw(
-    member: jnp.ndarray, lo: int, u: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact uniform draw from each row's complement set.
-
-    For each row b, draws uniformly from ``{i in [lo, N) : member[b,i]==0}``
-    by rank selection: the r-th zero is located with a binary search over
-    the cumulative count of zeros. Used as the fallback when fixed-round
-    rejection sampling never finds a non-member (the reference's unbounded
-    ``while`` loop, reference pmgt/pmgt/datasets.py:173-180 and
-    ncf/datasets.py:85-101, always terminates; this keeps that guarantee
-    under fixed shapes).
-
-    Args:
-        member: [B, N] float 0/1 membership (1 = excluded).
-        lo: ids below ``lo`` are always excluded.
-        u: [B, K] uniforms in [0, 1).
-
-    Returns:
-        ids: [B, K] int32 draws (``lo`` where the complement is empty).
-        valid: [B, K] bool — False when the complement is empty.
-
-    Note: counts are exact in float32 up to 2**24 rows; N here is the
-    node/item count (~10k-1M), far below that.
-    """
-    nonmem = 1.0 - member
-    if lo:
-        nonmem = nonmem.at[:, :lo].set(0.0)
-    cum = jnp.cumsum(nonmem, axis=1)  # [B, N]
-    total = cum[:, -1:]  # [B, 1]
-    rank = jnp.minimum(jnp.floor(u * total), total - 1.0)
-    idx = jax.vmap(
-        lambda c, r: jnp.searchsorted(c, r, side="left")
-    )(cum, rank + 1.0)
-    valid = jnp.broadcast_to(total > 0.0, u.shape)
-    return jnp.where(valid, idx, lo).astype(jnp.int32), valid
-
-
 def _scatter_add_rows(buf, col_ids, value):
     """buf[b, col_ids[b, j]] += value for all b, j (duplicates accumulate)."""
     batch, n = buf.shape

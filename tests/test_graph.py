@@ -78,3 +78,29 @@ def test_from_networkx_offset_nodes():
     g = from_networkx(nxg)
     assert g.num_nodes == 3
     assert g.degrees[3] == 2  # middle node
+
+
+def test_from_edges_dedupes_and_drops_self_loops():
+    """networkx.Graph semantics: duplicate (u,v) listings overwrite (last
+    weight wins), self-loops are dropped — also a hard requirement of the
+    complement rank-select negative sampler (distinct sorted rows)."""
+    from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, from_edges
+
+    g = from_edges(
+        4,
+        [
+            (0, 1, 1.0),
+            (1, 0, 3.0),  # duplicate in the other orientation
+            (0, 1, 2.0),  # duplicate again: last weight wins
+            (2, 2, 9.0),  # self loop: dropped
+            (2, 3, 1.5),
+        ],
+    )
+    deg = np.asarray(g.degrees)
+    np.testing.assert_array_equal(deg[NUM_SPECIAL_NODES:], [1, 1, 1, 1])
+    # node 0's single neighbor is node 1 with the last-written weight
+    assert g.nbr_ids[NUM_SPECIAL_NODES, 0] == 1 + NUM_SPECIAL_NODES
+    assert g.nbr_logits[NUM_SPECIAL_NODES, 0] == 2.0
+    # sorted rows are distinct and padded past the range
+    row = np.asarray(g.nbr_sorted)[NUM_SPECIAL_NODES]
+    assert row[0] == 1 + NUM_SPECIAL_NODES and (row[1:] >= g.num_total).all()

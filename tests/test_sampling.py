@@ -159,29 +159,10 @@ def test_score_ordering_prefers_close_frequent_nodes():
     assert (first_ctx == 3).mean() > 0.9
 
 
-def test_uniform_zero_draw_exact_complement():
-    from pmgt_tpu.sampling.mcn import uniform_zero_draw
-
-    member = np.ones((2, 10), np.float32)
-    member[0, [3, 7]] = 0.0  # complement of row 0: {3, 7}
-    member[1, :] = 1.0  # row 1: empty complement
-    u = jax.random.uniform(jax.random.key(0), (2, 400))
-    ids, valid = jax.jit(uniform_zero_draw, static_argnums=1)(
-        jnp.asarray(member), 2, u
-    )
-    ids, valid = np.asarray(ids), np.asarray(valid)
-    assert set(ids[0]) == {3, 7}
-    assert valid[0].all()
-    # roughly uniform between the two legal values
-    frac = (ids[0] == 3).mean()
-    assert 0.35 < frac < 0.65
-    assert not valid[1].any()
-
-
-def test_rejection_fallback_on_dense_graph():
-    """A target adjacent to almost every node: fixed-round rejection often
-    misses, and the fallback must still return a true non-neighbor
-    (previously argmax returned slot 0's candidate — possibly a positive)."""
+def test_negatives_on_dense_graph():
+    """A target adjacent to every node but one: the complement rank-select
+    must return that one true non-neighbor every time (a sampler that can
+    emit positives as negatives fails here)."""
     from pmgt_tpu.graph.container import NUM_SPECIAL_NODES
 
     n = 40

@@ -81,28 +81,31 @@ def encoder_packed(params, x):
     return (flat.astype(jnp.float32) ** 2).mean()
 
 
-def bench(fn, params, xs, n=50):
-    """One scanned loop over n distinct inputs, reduced to a scalar that
-    is actually fetched. The tunnel defers/elides device work whose
-    results are never read (measured: 4x more work ran "faster" with
-    per-call host timing), so the only honest timing is a single call
-    whose scalar output forces the whole chain, divided by n."""
+def bench(fn, params, xs):
+    """One scanned loop over distinct inputs, reduced to a scalar that is
+    actually fetched. The tunnel defers/elides device work whose results
+    are never read (measured: 4x more work ran "faster" with per-call
+    host timing) and memoizes repeated identical executions, so the only
+    honest timing is a single fresh call whose scalar output forces the
+    whole chain, divided by n. ``params`` is threaded as a jit argument
+    (a closure would bake the weights in as constants)."""
     import jax.flatten_util
 
-    def body(acc, x):
-        g = jax.grad(fn)(params, x)
-        flat, _ = jax.flatten_util.ravel_pytree(g)
-        return acc + jnp.sum(flat.astype(jnp.float32) ** 2), None
-
     @jax.jit
-    def run(params, stacked):
+    def run(params, stacked, shift):
+        def body(acc, x):
+            g = jax.grad(fn)(params, x + shift)
+            flat, _ = jax.flatten_util.ravel_pytree(g)
+            return acc + jnp.sum(flat.astype(jnp.float32) ** 2), None
+
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), stacked)
         return acc
 
     stacked = jnp.stack(xs)
-    float(run(params, stacked))  # compile + warm
+    float(run(params, stacked, jnp.bfloat16(0.0)))  # compile + warm
     t0 = time.time()
-    float(run(params, stacked))
+    # distinct from the warm call: identical executions get memoized
+    float(run(params, stacked, jnp.bfloat16(1e-3)))
     return (time.time() - t0) / len(xs) * 1e3
 
 

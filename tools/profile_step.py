@@ -56,14 +56,20 @@ def timeit(name, fn, *a, n=30):
         a[-1].dtype, jax.dtypes.prng_key
     ), f"{name}: last arg must be a PRNG key"
 
+    import jax.flatten_util
+
     @jax.jit
     def run(*args):
         head, key = args[:-1], args[-1]
 
         def body(acc, i):
             out = fn(*head, jax.random.fold_in(key, i))
-            first = jax.tree.leaves(out)[0]
-            return acc + jnp.sum(first.astype(jnp.float32)), None
+            # Reduce EVERY leaf: reducing only one would let XLA DCE the
+            # computation of the rest (e.g. all other params' grads).
+            flat, _ = jax.flatten_util.ravel_pytree(
+                jax.tree.map(lambda l: jnp.sum(l.astype(jnp.float32)), out)
+            )
+            return acc + jnp.sum(flat), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
         return acc
@@ -71,8 +77,11 @@ def timeit(name, fn, *a, n=30):
     t0 = time.time()
     float(run(*a))  # compile + warm (the fetch forces execution)
     ct = time.time() - t0
+    # Time with a DIFFERENT key: the tunnel memoizes repeated identical
+    # executions.
+    a_timed = (*a[:-1], jax.random.fold_in(a[-1], 10_007))
     t0 = time.time()
-    float(run(*a))
+    float(run(*a_timed))
     t = (time.time() - t0) / n
     print(f"{name:44s} {t*1000:8.2f} ms  (compile+warm {ct:.0f}s)")
 
