@@ -56,7 +56,7 @@ def timeit(name, fn, *a, n=30):
         a[-1].dtype, jax.dtypes.prng_key
     ), f"{name}: last arg must be a PRNG key"
 
-    import jax.flatten_util
+    from jax import flatten_util
 
     @jax.jit
     def run(*args):
@@ -66,7 +66,7 @@ def timeit(name, fn, *a, n=30):
             out = fn(*head, jax.random.fold_in(key, i))
             # Reduce EVERY leaf: reducing only one would let XLA DCE the
             # computation of the rest (e.g. all other params' grads).
-            flat, _ = jax.flatten_util.ravel_pytree(
+            flat, _ = flatten_util.ravel_pytree(
                 jax.tree.map(lambda l: jnp.sum(l.astype(jnp.float32)), out)
             )
             return acc + jnp.sum(flat), None
