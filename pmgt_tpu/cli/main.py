@@ -285,9 +285,11 @@ def train_dcn(ctx: click.Context, **raw_args):
 @click.option(
     "--feat-tables-dtype",
     type=click.Choice(["float32", "bfloat16"]),
-    default="float32",
+    default=None,
     help="storage dtype of the frozen feature tables (bfloat16 halves "
-    "HBM footprint and the per-step full-table projection read)",
+    "HBM footprint and the per-step full-table projection read; default "
+    "bfloat16 when --mp-enabled — numerically identical there — else "
+    "float32)",
 )
 @click.pass_context
 def train_pmgt(ctx: click.Context, **raw_args):

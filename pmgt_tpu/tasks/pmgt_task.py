@@ -148,7 +148,14 @@ class PMGTTask:
         #   --feat-tables-dtype bfloat16   halves storage and the
         #     per-step full-table projection read (the tables are frozen
         #     inputs; losses still reduce in fp32)
-        table_dtype = str(args.extra.get("feat_tables_dtype", "float32"))
+        # Under the bf16 compute policy the step casts the tables to bf16
+        # anyway, so bf16 *storage* is numerically identical (measured:
+        # bit-same loss) and just halves HBM + the projection read —
+        # default to it when mp is on.
+        default_dtype = "bfloat16" if args.mp_enabled else "float32"
+        table_dtype = str(
+            args.extra.get("feat_tables_dtype") or default_dtype
+        )
         if table_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"invalid feat_tables_dtype {table_dtype}")
         if table_dtype == "bfloat16":
