@@ -54,7 +54,7 @@ def build_workload(seed: int = 0):
 
 def measure_tpu(
     art, batch_size: int, attention_impl=None, ctx_cache: bool = True,
-    feat_tables_dtype: str = "float32",
+    feat_tables_dtype=None,
 ) -> dict:
     """Sustained training throughput: full epochs including the per-epoch
     context/pair cache refresh (nothing amortized away). With
@@ -81,7 +81,13 @@ def measure_tpu(
             num_hidden_layers=5,
             num_attention_heads=1,
             ctx_cache=ctx_cache,
-            feat_tables_dtype=feat_tables_dtype,
+            # Only pin the table dtype when explicitly requested; None
+            # lets PMGTTask's default apply (bf16 storage under mp).
+            **(
+                {"feat_tables_dtype": feat_tables_dtype}
+                if feat_tables_dtype
+                else {}
+            ),
             **({"attention_impl": attention_impl} if attention_impl else {}),
         ),
     )
@@ -219,9 +225,11 @@ def main():
                         "semantics) measurement")
     parser.add_argument("--no-ctx-cache", action="store_true",
                         help="measure ONLY exact per-occurrence sampling")
-    parser.add_argument("--feat-tables-dtype", default="float32",
+    parser.add_argument("--feat-tables-dtype", default=None,
                         choices=["float32", "bfloat16"],
-                        help="storage dtype of the frozen feature tables")
+                        help="storage dtype of the frozen feature tables "
+                        "(default: the task's own default — bfloat16 under "
+                        "the bf16 compute policy)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -241,7 +249,8 @@ def main():
     if not (args.skip_exact or args.no_ctx_cache):
         try:
             exact = measure_tpu(
-                art, args.batch_size, args.attention_impl, ctx_cache=False
+                art, args.batch_size, args.attention_impl, ctx_cache=False,
+                feat_tables_dtype=args.feat_tables_dtype,
             )
             exact_per_chip = exact["nodes_per_sec"] / exact["n_devices"]
             if args.verbose:

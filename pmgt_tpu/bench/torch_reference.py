@@ -86,7 +86,7 @@ class TorchDualAttention(nn.Module):
         b, s, _ = x.shape
         return x.view(b, s, self.h, self.d).permute(0, 2, 1, 3)
 
-    def forward(self, x, add_mask):
+    def forward(self, x, add_mask, head_mask=None, output_attentions=False):
         q, k, v, c = (self._split(m(x)) for m in (self.q, self.k, self.v, self.c))
         s = x.size(1)
         norm = torch.linalg.norm(c, dim=-1, keepdim=True)
@@ -96,10 +96,17 @@ class TorchDualAttention(nn.Module):
         p1 = self.drop(s1.softmax(-1))
         s2 = (q @ k.transpose(-1, -2)) / math.sqrt(self.d) + add_mask
         p2 = self.drop(s2.softmax(-1))
+        if head_mask is not None:
+            # post-dropout, both distributions (reference
+            # modeling_pmgt.py:460-461, 516-517)
+            hm = head_mask.view(1, -1, 1, 1)
+            p1 = p1 * hm
+            p2 = p2 * hm
         probs = self.beta * p1 + (1 - self.beta) * p2
         out = probs @ v
         b = x.size(0)
-        return out.permute(0, 2, 1, 3).reshape(b, s, -1)
+        out = out.permute(0, 2, 1, 3).reshape(b, s, -1)
+        return (out, probs) if output_attentions else out
 
 
 class TorchPMGTLayer(nn.Module):
@@ -113,11 +120,16 @@ class TorchPMGTLayer(nn.Module):
         self.ln2 = nn.LayerNorm(hidden, eps=1e-12)
         self.drop = nn.Dropout(dropout)
 
-    def forward(self, x, add_mask):
-        a = self.drop(self.attn_out(self.attn(x, add_mask)))
+    def forward(self, x, add_mask, head_mask=None, output_attentions=False):
+        a = self.attn(x, add_mask, head_mask, output_attentions)
+        probs = None
+        if output_attentions:
+            a, probs = a
+        a = self.drop(self.attn_out(a))
         x = self.ln1(a + x)
         f = self.drop(self.ff2(F.gelu(self.ff1(x))))
-        return self.ln2(f + x)
+        out = self.ln2(f + x)
+        return (out, probs) if output_attentions else out
 
 
 class TorchPMGT(nn.Module):
@@ -141,7 +153,8 @@ class TorchPMGT(nn.Module):
         )
         self.nfr_proj = nn.ModuleList(nn.Linear(hidden, f) for f in feat_dims)
 
-    def encode(self, ids, mask):
+    def encode(self, ids, mask, head_mask=None, output_hidden_states=False,
+               output_attentions=False):
         feats = [t(ids) for t in self.tables]
         proj = [p(f) for p, f in zip(self.proj, feats)]
         attn = torch.softmax(self.mod_attn(torch.tanh(torch.cat(proj, -1))), -1)
@@ -152,8 +165,18 @@ class TorchPMGT(nn.Module):
                               torch.ones(1, s - 1, dtype=torch.long)], dim=1)
         x = self.drop(self.ln(x + self.pos(pos_ids) + self.role(role_ids)))
         add_mask = (1.0 - mask).view(mask.size(0), 1, 1, -1) * torch.finfo(x.dtype).min
-        for layer in self.layers:
-            x = layer(x, add_mask)
+        all_hidden = [x] if output_hidden_states else None
+        all_probs = [] if output_attentions else None
+        for i, layer in enumerate(self.layers):
+            lhm = None if head_mask is None else head_mask[i]
+            x = layer(x, add_mask, lhm, output_attentions)
+            if output_attentions:
+                x, probs = x
+                all_probs.append(probs)
+            if output_hidden_states:
+                all_hidden.append(x)
+        if output_hidden_states or output_attentions:
+            return x, all_hidden, all_probs
         return x
 
 

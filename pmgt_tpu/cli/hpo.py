@@ -234,7 +234,16 @@ class RandomSearchStudy:
         done.sort(key=lambda t: t["value"], reverse=reverse)
         return [(t["params"], t["value"]) for t in done]
 
-    def optimize(self, objective, n_trials: int, callbacks=()):
+    def optimize(
+        self, objective, n_trials: int, callbacks=(), max_total_trials=None
+    ):
+        """Run until ``n_trials`` COMPLETE trials exist. PRUNED trials
+        (conditional spaces with ``prune: true`` arms, reference
+        hp_tuning.py:56-60) don't count toward the target but DO count
+        toward a total-attempt cap, so an always-pruning region cannot
+        loop forever (default cap: 10x n_trials attempts)."""
+        if max_total_trials is None:
+            max_total_trials = max(10 * n_trials, n_trials + 20)
         base = (
             self.seed
             if self.seed is not None
@@ -242,6 +251,15 @@ class RandomSearchStudy:
         )
         rng = np.random.default_rng(len(self.trials) * 7919 + base)
         while len([t for t in self.trials if t["state"] == "COMPLETE"]) < n_trials:
+            if len(self.trials) >= max_total_trials:
+                logger.warning(
+                    "stopping after %d total trials (%d COMPLETE < %d "
+                    "requested): search space prunes too aggressively",
+                    len(self.trials),
+                    len([t for t in self.trials if t["state"] == "COMPLETE"]),
+                    n_trials,
+                )
+                break
             trial = RandomTrial(len(self.trials), rng, history=self._history())
             try:
                 value = objective(trial)
@@ -265,6 +283,8 @@ class RandomSearchStudy:
     @property
     def best_trial(self):
         done = [t for t in self.trials if t["state"] == "COMPLETE"]
+        if not done:
+            raise ValueError("no completed trials (all pruned or none run)")
         reverse = self.direction == "maximize"
         return sorted(done, key=lambda t: t["value"], reverse=reverse)[0]
 
@@ -370,6 +390,15 @@ def hp_tuning(
                 optuna.trial.TrialState.RUNNING,
             )
             if len([t for t in study.trials if t.state in states]) >= n_trials:
+                study.stop()
+            # Same always-pruning backstop as RandomSearchStudy: PRUNED
+            # trials count toward a hard total-attempt cap.
+            if len(study.trials) >= max(10 * n_trials, n_trials + 20):
+                logger.warning(
+                    "stopping after %d total trials: search space prunes "
+                    "too aggressively",
+                    len(study.trials),
+                )
                 study.stop()
 
         try:

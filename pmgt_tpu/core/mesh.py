@@ -114,7 +114,7 @@ def shard_rows_host(mesh: Mesh, array) -> jax.Array:
     for an XLA-inserted gather collective over ICI).
 
     Rows are zero-padded to a multiple of the mesh size; padding rows are
-    never referenced (node ids stay < N+2) and project to zeros.
+    never referenced (node ids stay < N+2).
     """
     array = np.asarray(array)
     n = mesh.size

@@ -138,6 +138,11 @@ def _load_reference(d: str) -> DatasetArtifacts:
     The graph's labeled nodes are relabeled through ``node_encoder`` to
     0..N-1 then shifted by the two special ids inside ``from_edges`` —
     the reference's relabel-to-ids≥2 step (pmgt/pmgt/trainer.py:38-41).
+
+    SECURITY: ``graph.gpickle`` is unpickled and the encoders go through
+    ``joblib.load`` — both execute arbitrary code from the data directory
+    (inherent to the reference's artifact contract). Only point this at
+    trusted dataset directories.
     """
     import pickle
 

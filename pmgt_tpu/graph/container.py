@@ -27,6 +27,15 @@ import numpy as np
 NEG_INF = float("-inf")
 NUM_SPECIAL_NODES = 2  # 0 = <pad>, 1 = <mask>
 
+# Above this max_degree the row draw tables move more HBM per draw than
+# the flat element gathers save; measured crossover is far higher than
+# real co-review graphs' capped degrees (row path: 6 ms per 1.39M rows
+# x32 lanes; element path: 43 ms per 5.5M draws). The sampler's draw-path
+# choice (sampling/mcn.py _alias_draw) and the table packing below key on
+# the same constant so only the variant actually used is materialized —
+# the other would just double alias-table HBM on every device.
+ROW_DRAW_MAX_DEG = 64
+
 
 class PaddedGraph(NamedTuple):
     """Fixed-shape graph arrays (a pytree; members may be numpy or jnp).
@@ -202,11 +211,32 @@ def _pack_alias(
     alias_idx: np.ndarray,
     degrees: np.ndarray,
 ) -> Tuple[np.ndarray, ...]:
-    """Draw tables for both gather strategies (see PaddedGraph field
-    docs): flat per-(node, slot) arrays and 2-D row tables with the alias
-    *slot* index resolved to the alias *neighbor id* (removing a
-    dependent gather)."""
+    """Draw tables for the gather strategy the sampler will actually use
+    (see PaddedGraph field docs). Only one variant is materialized —
+    row tables for ``max_deg <= ROW_DRAW_MAX_DEG``, flat per-(node, slot)
+    arrays otherwise; the other fields get 1-element placeholders so the
+    unused variant costs no HBM when the graph is replicated per device.
+    In both variants the alias *slot* index is pre-resolved to the alias
+    *neighbor id* (removing a dependent gather)."""
     n_total, max_deg = nbr_ids.shape
+    placeholder = np.zeros((1,), np.int32)
+    alias_node = np.take_along_axis(nbr_ids, alias_idx, axis=1)
+    slot_valid = np.arange(max_deg)[None, :] < degrees[:, None]
+    nbr_sorted = np.sort(
+        np.where(slot_valid, nbr_ids, n_total), axis=1
+    ).astype(np.int32)
+    if max_deg <= ROW_DRAW_MAX_DEG:
+        draw_ids = np.concatenate(
+            [nbr_ids, degrees[:, None].astype(np.int32)], axis=1
+        )
+        return (
+            placeholder,
+            placeholder,
+            placeholder,
+            np.ascontiguousarray(draw_ids, np.int32),
+            np.ascontiguousarray(alias_node, np.int32),
+            np.ascontiguousarray(nbr_sorted, np.int32),
+        )
     if n_total * max_deg >= 2**31:
         # The jitted sampler forms flat int32 indices node*max_deg+slot
         # (sampling/mcn.py _alias_draw); larger tables would silently
@@ -217,22 +247,14 @@ def _pack_alias(
             f"{n_total} nodes x {max_deg} max_degree >= 2**31; "
             "pass max_degree to cap the neighbor lists"
         )
-    alias_node = np.take_along_axis(nbr_ids, alias_idx, axis=1)
-    draw_ids = np.concatenate(
-        [nbr_ids, degrees[:, None].astype(np.int32)], axis=1
-    )
-    slot_valid = np.arange(max_deg)[None, :] < degrees[:, None]
-    nbr_sorted = np.sort(
-        np.where(slot_valid, nbr_ids, n_total), axis=1
-    ).astype(np.int32)
     return (
         np.ascontiguousarray(nbr_ids.reshape(-1), np.int32),
         np.ascontiguousarray(alias_node.reshape(-1), np.int32),
         np.ascontiguousarray(
             alias_prob.astype(np.float32).reshape(-1).view(np.int32)
         ),
-        np.ascontiguousarray(draw_ids, np.int32),
-        np.ascontiguousarray(alias_node, np.int32),
+        np.ascontiguousarray(placeholder.reshape(1, 1), np.int32),
+        np.ascontiguousarray(placeholder.reshape(1, 1), np.int32),
         np.ascontiguousarray(nbr_sorted, np.int32),
     )
 

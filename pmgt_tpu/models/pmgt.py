@@ -147,7 +147,9 @@ def dual_attention_xla(
     deterministic: bool,
     dropout_rng: Optional[Array],
     scores2_bias: Optional[Array] = None,
-) -> Array:
+    head_mask: Optional[Array] = None,
+    return_probs: bool = False,
+):
     """Reference XLA implementation of the dual-attention core.
 
     Inputs are [B, h, S, d]. Two attention distributions are blended:
@@ -155,6 +157,11 @@ def dual_attention_xla(
     *dissimilar* neighbors (reference modeling_pmgt.py:435-458); P2 is
     standard scaled dot-product attention (modeling_pmgt.py:464-513).
     Output = (beta * P1 + (1 - beta) * P2) @ V.
+
+    ``head_mask`` multiplies both prob matrices after dropout (reference
+    modeling_pmgt.py:460-461, 516-517); with ``return_probs`` the blended
+    probs are returned alongside the output (the reference's
+    ``output_attentions`` payload, modeling_pmgt.py:526-531).
     """
     b, h, s, d = query.shape
     dtype = query.dtype
@@ -190,8 +197,19 @@ def dual_attention_xla(
         probs1 = jnp.where(m1, probs1 / keep, 0.0).astype(dtype)
         probs2 = jnp.where(m2, probs2 / keep, 0.0).astype(dtype)
 
+    if head_mask is not None:
+        # [h] (or broadcastable) per-head scaling, post-dropout.
+        hm = jnp.asarray(head_mask, dtype)
+        if hm.ndim == 1:
+            hm = hm[None, :, None, None]
+        probs1 = probs1 * hm
+        probs2 = probs2 * hm
+
     probs = beta * probs1 + (1.0 - beta) * probs2
-    return jnp.einsum("bhij,bhjd->bhid", probs, value)
+    out = jnp.einsum("bhij,bhjd->bhid", probs, value)
+    if return_probs:
+        return out, probs
+    return out
 
 
 class PMGTSelfAttention(nn.Module):
@@ -205,7 +223,9 @@ class PMGTSelfAttention(nn.Module):
         hidden: Array,
         additive_mask: Optional[Array],
         deterministic: bool = True,
-    ) -> Array:
+        head_mask: Optional[Array] = None,
+        output_attentions: bool = False,
+    ) -> Tuple[Array, Optional[Array]]:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         b, s, _ = hidden.shape
@@ -252,8 +272,16 @@ class PMGTSelfAttention(nn.Module):
             scores2_bias = rel_scores / jnp.sqrt(jnp.asarray(d, dtype))
 
         # The Pallas kernel covers the absolute-position configuration;
-        # relative-position variants take the XLA path.
-        if cfg.attention_impl == "pallas" and scores2_bias is None:
+        # relative-position variants and introspection requests
+        # (head_mask / output_attentions, reference
+        # modeling_pmgt.py:460-461, 526-531) take the XLA path.
+        probs = None
+        if (
+            cfg.attention_impl == "pallas"
+            and scores2_bias is None
+            and head_mask is None
+            and not output_attentions
+        ):
             from pmgt_tpu.ops.dual_attention import dual_attention_pallas
 
             out = dual_attention_pallas(
@@ -279,8 +307,13 @@ class PMGTSelfAttention(nn.Module):
                 deterministic=deterministic,
                 dropout_rng=dropout_rng,
                 scores2_bias=scores2_bias,
+                head_mask=head_mask,
+                return_probs=output_attentions,
             )
-        return out.transpose(0, 2, 1, 3).reshape(b, s, cfg.all_head_size)
+            if output_attentions:
+                out, probs = out
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.all_head_size)
+        return out, probs
 
 
 class PMGTLayer(nn.Module):
@@ -296,12 +329,14 @@ class PMGTLayer(nn.Module):
         hidden: Array,
         additive_mask: Optional[Array],
         deterministic: bool = True,
-    ) -> Array:
+        head_mask: Optional[Array] = None,
+        output_attentions: bool = False,
+    ) -> Tuple[Array, Optional[Array]]:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
 
-        attn = PMGTSelfAttention(cfg, name="self_attention")(
-            hidden, additive_mask, deterministic
+        attn, probs = PMGTSelfAttention(cfg, name="self_attention")(
+            hidden, additive_mask, deterministic, head_mask, output_attentions
         )
 
         # Lane packing: run the dense/LN/GELU segment on [B*S, H].
@@ -347,7 +382,7 @@ class PMGTLayer(nn.Module):
         out = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=dtype, name="output_norm"
         )(out + hidden)
-        return out.reshape(b, s, -1)
+        return out.reshape(b, s, -1), probs
 
 
 class PMGTModel(nn.Module):
@@ -361,10 +396,12 @@ class PMGTModel(nn.Module):
         self.embeddings = PMGTEmbeddings(cfg, name="embeddings")
         # Optional per-layer rematerialization — the TPU equivalent of the
         # reference's torch gradient checkpointing plumbing
-        # (modeling_pmgt.py:240-253). deterministic is static (arg 2).
-        # static_argnums counts self at position 0 for lifted methods.
+        # (modeling_pmgt.py:240-253). deterministic and output_attentions
+        # are static; static_argnums counts self at position 0 for lifted
+        # methods (call args: hidden=1, mask=2, deterministic=3,
+        # head_mask=4, output_attentions=5).
         layer_cls = (
-            nn.remat(PMGTLayer, static_argnums=(3,))
+            nn.remat(PMGTLayer, static_argnums=(3, 5))
             if cfg.gradient_checkpointing
             else PMGTLayer
         )
@@ -391,7 +428,20 @@ class PMGTModel(nn.Module):
         attention_mask: Optional[Array] = None,
         deterministic: bool = True,
         projected: bool = False,
-    ) -> Tuple[Array, Optional[Array]]:
+        head_mask: Optional[Array] = None,
+        output_hidden_states: bool = False,
+        output_attentions: bool = False,
+    ):
+        """Returns ``(last_hidden_state, pooled)`` by default. With
+        ``output_hidden_states``/``output_attentions`` set, returns
+        ``(last_hidden_state, pooled, aux)`` where ``aux`` holds
+        ``hidden_states`` (embeddings output + every layer output, the
+        reference's all_hidden_states tuple, modeling_pmgt.py:231-265)
+        and/or ``attentions`` (per-layer blended dual-attention probs,
+        modeling_pmgt.py:526-531). ``head_mask`` is ``[num_layers, h]``
+        (or ``[h]``, broadcast to all layers), multiplied into both
+        attention distributions post-dropout (modeling_pmgt.py:460-461,
+        516-517)."""
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         b, s = feat_embeds[0].shape[:2]
@@ -401,13 +451,33 @@ class PMGTModel(nn.Module):
         additive = _additive_mask(attention_mask, dtype)[:, None, None, :]
 
         hidden = self.embeddings(feat_embeds, deterministic, projected)
-        for layer in self.layers:
-            hidden = layer(hidden, additive, deterministic)
+        all_hidden = [hidden] if output_hidden_states else None
+        all_attn = [] if output_attentions else None
+        for i, layer in enumerate(self.layers):
+            layer_head_mask = None
+            if head_mask is not None:
+                hm = jnp.asarray(head_mask)
+                layer_head_mask = hm[i] if hm.ndim > 1 else hm
+            hidden, probs = layer(
+                hidden, additive, deterministic, layer_head_mask,
+                output_attentions,
+            )
+            if output_hidden_states:
+                all_hidden.append(hidden)
+            if output_attentions:
+                all_attn.append(probs)
 
         pooled = None
         if self.add_pooling_layer:
             pooled = jnp.tanh(self.pooler(hidden[:, 0]))
-        return hidden, pooled
+        if not (output_hidden_states or output_attentions):
+            return hidden, pooled
+        aux = {}
+        if output_hidden_states:
+            aux["hidden_states"] = tuple(all_hidden)
+        if output_attentions:
+            aux["attentions"] = tuple(all_attn)
+        return hidden, pooled, aux
 
 
 def bce_with_logits(logits: Array, labels: Array) -> Array:

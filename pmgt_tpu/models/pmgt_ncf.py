@@ -8,9 +8,10 @@ is a first-class workload (tasks/pmgt_ncf_task.py).
 
 Frozen multimodal tables are inputs (like PMGTForPreTraining); the CLS
 state of the encoded item neighborhood is the MLP tower's item embedding
-(reference pmgt_ncf/models.py:86-89); NeuMF-end adds a GMF branch whose
-item table is indexed by the raw item id (node id - 2,
-pmgt_ncf/models.py:97).
+(reference pmgt_ncf/models.py:86-89); NeuMF-end adds a GMF branch indexed
+by the raw item id (the reference derives it as node id - 2,
+pmgt_ncf/models.py:97; we pass it explicitly so graph-absent items and
+divergent item/node encoders stay correct).
 """
 from __future__ import annotations
 
@@ -73,6 +74,7 @@ class PMGT_NCF(nn.Module):
         user: Array,  # [B]
         item_node_ids: Array,  # [B, S] neighborhood sequences
         item_attention_mask: Array,  # [B, S]
+        item: Array = None,  # [B] raw item ids (GMF branch, NeuMF-end only)
         deterministic: bool = True,
     ) -> Array:
         proj_tables = self.bert.project_tables(feat_tables)
@@ -92,8 +94,17 @@ class PMGT_NCF(nn.Module):
             x = nn.relu(x)
 
         if self.model == "NeuMF-end":
+            # GMF indexes the *raw item id* (reference pmgt_ncf/models.py:97
+            # relies on the node-id = item-id + 2 convention; we take the
+            # item id directly so graph-absent items — node id 0, which
+            # `- 2` would wrap to item_num-2's embedding — and divergent
+            # item/node encoders both gather the right row).
+            item_idx = (
+                item if item is not None else item_node_ids[:, 0] - 2
+            )
+            item_idx = jnp.clip(item_idx, 0, self.item_num - 1)
             gmf = self.gmf_user_embeddings(user) * self.gmf_item_embeddings(
-                item_node_ids[:, 0] - 2
+                item_idx
             )
             gmf = self.emb_drop(gmf, deterministic=deterministic)
             x = jnp.concatenate([gmf, x], axis=-1)

@@ -31,14 +31,11 @@ import jax
 import jax.numpy as jnp
 
 from pmgt_tpu.core.config import SamplingConfig
-from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
-
-
-# Above this max_degree the row draw tables move more HBM per draw than
-# the flat element gathers save; measured crossover is far higher than
-# real co-review graphs' capped degrees (row path: 6 ms per 1.39M rows
-# x32 lanes; element path: 43 ms per 5.5M draws).
-ROW_DRAW_MAX_DEG = 64
+from pmgt_tpu.graph.container import (
+    NUM_SPECIAL_NODES,
+    ROW_DRAW_MAX_DEG,
+    PaddedGraph,
+)
 
 
 def _alias_draw(

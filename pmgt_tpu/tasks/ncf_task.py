@@ -32,7 +32,7 @@ from pmgt_tpu.core.mesh import gather_to_host, put_along_data_axis, replicate_ho
 from pmgt_tpu.tasks.interaction_base import InteractionTaskBase, TrainState
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
-from pmgt_tpu.train.registry import RunRegistry
+from pmgt_tpu.train.registry import RunRegistry, locate_eval_ckpt
 
 logger = logging.getLogger("pmgt_tpu")
 
@@ -248,17 +248,13 @@ def test(
     args: TrainArgs, ctx: Dict[str, Any], registry, run, is_hptuning: bool = False
 ) -> Dict[str, float]:
     task: NCFTask = ctx["task"]
-    run_id = args.run_id or (run.run_id if run is not None else None)
-    if run_id is not None and registry is not None:
-        try:
-            path = registry.get_ckpt_path(run_id, load_best=True)
-            payload = restore_checkpoint(path)
-            task.state = TrainState(
-                jax.tree.map(jnp.asarray, payload["state"]["params"]),
-                task.state.opt_state,
-            )
-        except FileNotFoundError:
-            pass
+    path = locate_eval_ckpt(registry, run, args.run_id)
+    if path is not None:
+        payload = restore_checkpoint(path)
+        task.state = TrainState(
+            jax.tree.map(jnp.asarray, payload["state"]["params"]),
+            task.state.opt_state,
+        )
     # During HPO, "test" metrics come from the validation split (the
     # reference's leakage guard, ncf/trainer.py:240-245).
     if is_hptuning:

@@ -45,7 +45,7 @@ from pmgt_tpu.sampling.pairs import (
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
 from pmgt_tpu.train.optim import make_optimizer
-from pmgt_tpu.train.registry import RunRegistry
+from pmgt_tpu.train.registry import RunRegistry, locate_eval_ckpt
 
 logger = logging.getLogger("pmgt_tpu")
 
@@ -619,9 +619,8 @@ def _maybe_restore(args: TrainArgs, task: PMGTTask, load_best: bool) -> None:
     if args.run_id is None:
         return
     registry = RunRegistry(args.log_dir)
-    try:
-        path = registry.get_ckpt_path(args.run_id, load_best=load_best)
-    except FileNotFoundError:
+    path = locate_eval_ckpt(registry, None, args.run_id, load_best=load_best)
+    if path is None:
         return
     payload = restore_checkpoint(
         os.path.join(path),
@@ -662,16 +661,12 @@ def test(
     """Evaluate the best checkpoint on the validation nodes (the reference
     reuses valid as test for PMGT, pmgt/pmgt/trainer.py:71)."""
     task: PMGTTask = ctx["task"]
-    run_id = args.run_id or (run.run_id if run is not None else None)
-    if run_id is not None and registry is not None:
-        try:
-            path = registry.get_ckpt_path(run_id, load_best=True)
-            payload = restore_checkpoint(
-                path, {"state": task.state, "meta": _meta_template()}
-            )
-            task.state = payload["state"]
-        except FileNotFoundError:
-            pass
+    path = locate_eval_ckpt(registry, run, args.run_id)
+    if path is not None:
+        payload = restore_checkpoint(
+            path, {"state": task.state, "meta": _meta_template()}
+        )
+        task.state = payload["state"]
     if is_hptuning:
         metrics = task.evaluate(task.state, "valid")
         return {k.replace("val/", "test/"): v for k, v in metrics.items()}

@@ -221,7 +221,10 @@ def fit(
                 losses = np.asarray(jax.device_get(losses), dtype=np.float64)
                 n_batches = len(losses)
                 global_step += n_batches
-                train_loss = float(losses[-100:].mean()) if n_batches else float("nan")
+                train_loss = float(losses.mean()) if n_batches else float("nan")
+                tail_loss = (
+                    float(losses[-100:].mean()) if n_batches else float("nan")
+                )
             else:
                 train_losses = []
                 n_batches = 0
@@ -237,17 +240,23 @@ def fit(
                             "epoch %d step %d loss %.5f", epoch, global_step, loss_val
                         )
 
-                train_loss = (
-                    float(
-                        np.mean([float(jax.device_get(x)) for x in train_losses[-100:]])
-                    )
-                    if train_losses
-                    else float("nan")
+                fetched = [float(jax.device_get(x)) for x in train_losses]
+                train_loss = float(np.mean(fetched)) if fetched else float("nan")
+                tail_loss = (
+                    float(np.mean(fetched[-100:])) if fetched else float("nan")
                 )
 
             val_metrics = task.evaluate(state, "valid")
             elapsed = time.time() - epoch_start
-            logged = {"loss/train": train_loss, **val_metrics, "epoch_time": elapsed}
+            # loss/train is the TRUE epoch mean; the trailing-100-step mean
+            # (closer to the end-of-epoch operating point) is logged
+            # separately.
+            logged = {
+                "loss/train": train_loss,
+                "loss/train_last100": tail_loss,
+                **val_metrics,
+                "epoch_time": elapsed,
+            }
             if registry is not None and run is not None:
                 registry.log_metrics(run, logged, step=global_step, epoch=epoch)
             logger.info(

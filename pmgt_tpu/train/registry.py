@@ -19,6 +19,7 @@ This registry keeps the same contract with plain files:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import platform
 import shutil
@@ -26,6 +27,8 @@ import time
 import uuid
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional
+
+logger = logging.getLogger("pmgt_tpu")
 
 
 @dataclass
@@ -158,3 +161,37 @@ class RunRegistry:
             if not os.path.isdir(path):
                 raise FileNotFoundError(f"no checkpoint under {run.ckpt_dir}")
         return path
+
+
+def locate_eval_ckpt(
+    registry: Optional["RunRegistry"],
+    run: Optional[RunInfo],
+    explicit_run_id: Optional[str],
+    load_best: bool = True,
+) -> Optional[str]:
+    """Resolve the checkpoint to evaluate/export from, loudly.
+
+    The reference fails hard when the run's checkpoint is missing
+    (``get_ckpt_path`` raises, base_trainer.py:99-110) — it never scores
+    random-init params as "test results". Mirror that: a missing checkpoint
+    for an *explicitly requested* ``--run-id`` is a hard error; for the
+    implicit just-trained run it downgrades to a WARNING (the in-memory
+    params are the trained ones, only best-ckpt selection is lost).
+    Returns None when there is nothing to restore.
+    """
+    run_id = explicit_run_id or (run.run_id if run is not None else None)
+    if run_id is None or registry is None:
+        return None
+    try:
+        return registry.get_ckpt_path(run_id, load_best=load_best)
+    except FileNotFoundError:
+        if explicit_run_id is not None:
+            raise FileNotFoundError(
+                f"--run-id {explicit_run_id!r} was given but no checkpoint "
+                f"exists for it; refusing to evaluate in-memory params"
+            ) from None
+        logger.warning(
+            "no checkpoint found for run %s; evaluating in-memory params",
+            run_id,
+        )
+        return None

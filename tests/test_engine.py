@@ -207,3 +207,75 @@ def test_async_checkpoint_save_and_finalize(tmp_path):
     save_checkpoint(path, {"w": jnp.arange(4.0) * 3}, block=False)
     got = restore_checkpoint(path)
     np.testing.assert_allclose(got["w"], np.arange(4.0) * 3)
+
+
+def test_locate_eval_ckpt_explicit_missing_raises(tmp_path):
+    """An explicitly requested --run-id with no checkpoint must fail hard
+    (reference semantics: get_ckpt_path raises, base_trainer.py:99-110),
+    never silently score in-memory params."""
+    from pmgt_tpu.train.registry import locate_eval_ckpt
+
+    reg = RunRegistry(str(tmp_path))
+    run = reg.create_run("exp", {})  # run exists, no checkpoint written
+    with pytest.raises(FileNotFoundError, match="refusing to evaluate"):
+        locate_eval_ckpt(reg, None, run.run_id)
+    with pytest.raises(FileNotFoundError):
+        locate_eval_ckpt(reg, None, "nonexistent-run")
+
+
+def test_locate_eval_ckpt_implicit_missing_warns(tmp_path, caplog):
+    """The implicit just-trained run downgrades to a WARNING and returns
+    None (in-memory params are the trained ones)."""
+    import logging
+
+    from pmgt_tpu.train.registry import locate_eval_ckpt
+
+    reg = RunRegistry(str(tmp_path))
+    run = reg.create_run("exp", {})
+    with caplog.at_level(logging.WARNING, logger="pmgt_tpu"):
+        assert locate_eval_ckpt(reg, run, None) is None
+    assert any("no checkpoint found" in r.message for r in caplog.records)
+    # nothing requested at all -> None, no warning
+    assert locate_eval_ckpt(reg, None, None) is None
+    assert locate_eval_ckpt(None, run, None) is None
+
+
+def test_locate_eval_ckpt_finds_existing(tmp_path):
+    from pmgt_tpu.train.registry import locate_eval_ckpt
+
+    reg = RunRegistry(str(tmp_path))
+    run = reg.create_run("exp", {})
+    save_checkpoint(os.path.join(run.ckpt_dir, "last"), {"w": jnp.ones((2,))})
+    path = locate_eval_ckpt(reg, None, run.run_id)
+    assert path.endswith("last")  # best falls back to last (reference quirk)
+
+
+def test_scan_mode_train_loss_is_epoch_mean(tmp_path):
+    """loss/train must be the TRUE epoch mean, not the last-100 tail
+    (which is logged separately as loss/train_last100)."""
+
+    class ScanTask(FakeTask):
+        use_scan_epoch = True
+
+        def train_epoch(self, state, epoch):
+            # 200 per-step losses: mean 0.5 over the epoch, tail mean 0.0
+            losses = jnp.concatenate(
+                [jnp.full((100,), 1.0), jnp.full((100,), 0.0)]
+            )
+            return state, losses
+
+    registry = RunRegistry(str(tmp_path / "logs"))
+    run = registry.create_run("exp", {})
+    task = ScanTask([0.5])
+    engine.fit(
+        task,
+        num_epochs=1,
+        early=5,
+        early_criterion="auc",
+        registry=registry,
+        run=run,
+        log_every=0,
+    )
+    metrics = {m["name"]: m["value"] for m in run.metrics()}
+    assert metrics["loss/train"] == pytest.approx(0.5)
+    assert metrics["loss/train_last100"] == pytest.approx(0.0)

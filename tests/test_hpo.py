@@ -199,3 +199,47 @@ def test_tpe_handles_conditional_param_gaps(tmp_path):
 
     study.optimize(objective, n_trials=30)
     assert len([t for t in study.trials if t["state"] == "COMPLETE"]) == 30
+
+
+def test_always_pruning_space_terminates(tmp_path):
+    """A conditional space whose arms always fire ``prune: true``
+    (e.g. the ported hpo_ncf_mlp_pmgt_params.yaml coupling) must not loop
+    forever: PRUNED trials count toward a total-attempt cap."""
+    from pmgt_tpu.cli.hpo import RandomSearchStudy, get_hp_params
+
+    study = RandomSearchStudy(str(tmp_path / "db"), "prune", "maximize", seed=3)
+    space = {
+        "x": {
+            "type": "static",
+            "value": 10,
+            "cond": [{"cond_type": "gte", "cond_value": 5, "prune": True}],
+        }
+    }
+
+    def objective(trial):
+        get_hp_params(trial, space)  # always raises TrialPruned
+        return 0.0
+
+    study.optimize(objective, n_trials=4)  # default cap = 10 * n_trials
+    assert len(study.trials) == 40
+    assert all(t["state"] == "PRUNED" for t in study.trials)
+    with pytest.raises(ValueError, match="no completed trials"):
+        study.best_trial
+
+
+def test_mostly_pruning_space_still_collects_completes(tmp_path):
+    """PRUNED trials don't count toward the COMPLETE target."""
+    from pmgt_tpu.cli.hpo import RandomSearchStudy, TrialPruned
+
+    study = RandomSearchStudy(str(tmp_path / "db"), "mix", "maximize", seed=5)
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0.0, 1.0)
+        if x < 0.5:
+            raise TrialPruned
+        return x
+
+    study.optimize(objective, n_trials=6)
+    done = [t for t in study.trials if t["state"] == "COMPLETE"]
+    assert len(done) == 6
+    assert len(study.trials) > 6  # some attempts were pruned

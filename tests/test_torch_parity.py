@@ -412,3 +412,81 @@ def test_dcn_forward_parity():
             torch.from_numpy(it.astype(np.int64)),
         )
     np.testing.assert_allclose(np.asarray(f_logits), _t2n(t_logits), atol=ATOL)
+
+
+# ----------------------------------------------------------------------
+# Encoder introspection parity: per-layer hidden states, attention probs,
+# head_mask threading (reference modeling_pmgt.py:222-267, 460-461,
+# 516-517, 526-531)
+# ----------------------------------------------------------------------
+
+def _flax_encoder_outputs(pmgt_pair_vals, ids, mask, head_mask=None):
+    from pmgt_tpu.models.pmgt import PMGTModel
+
+    tmodel, fmodel, params, tables = pmgt_pair_vals
+    bert = PMGTModel(config=fmodel.config)
+    feats = [jnp.asarray(t)[jnp.asarray(ids)] for t in tables]
+    return bert.apply(
+        {"params": params["bert"]},
+        feats,
+        jnp.asarray(mask),
+        deterministic=True,
+        head_mask=None if head_mask is None else jnp.asarray(head_mask),
+        output_hidden_states=True,
+        output_attentions=True,
+    )
+
+
+def test_pmgt_per_layer_hidden_states_and_attentions_match(pmgt_pair):
+    tmodel, fmodel, params, tables = pmgt_pair
+    rs = np.random.RandomState(11)
+    ids, mask = _random_sequences(rs, batch=5)
+
+    with torch.no_grad():
+        _, t_hidden, t_probs = tmodel.encode(
+            torch.from_numpy(ids.astype(np.int64)),
+            torch.from_numpy(mask),
+            output_hidden_states=True,
+            output_attentions=True,
+        )
+    last, pooled, aux = _flax_encoder_outputs(pmgt_pair, ids, mask)
+    f_hidden = aux["hidden_states"]
+    f_probs = aux["attentions"]
+
+    assert len(f_hidden) == LAYERS + 1  # embeddings output + every layer
+    assert len(f_probs) == LAYERS
+    for th, fh in zip(t_hidden, f_hidden):
+        np.testing.assert_allclose(np.asarray(fh), _t2n(th), atol=ATOL)
+    for tp, fp in zip(t_probs, f_probs):
+        assert fp.shape == (5, HEADS, SEQ, SEQ)
+        np.testing.assert_allclose(np.asarray(fp), _t2n(tp), atol=ATOL)
+    # last_hidden_state == final entry of hidden_states
+    np.testing.assert_allclose(
+        np.asarray(last), np.asarray(f_hidden[-1]), atol=1e-7
+    )
+    # attention probs rows over valid positions sum to 1 (two blended
+    # distributions, each row-stochastic)
+    row_sums = np.asarray(f_probs[0]).sum(-1)
+    np.testing.assert_allclose(row_sums, np.ones_like(row_sums), atol=1e-5)
+
+
+def test_pmgt_head_mask_parity_and_effect(pmgt_pair):
+    tmodel, fmodel, params, tables = pmgt_pair
+    rs = np.random.RandomState(12)
+    ids, mask = _random_sequences(rs, batch=4)
+
+    head_mask = np.ones((LAYERS, HEADS), np.float32)
+    head_mask[0, 0] = 0.0  # silence head 0 of layer 0
+    with torch.no_grad():
+        t_out, _, _ = tmodel.encode(
+            torch.from_numpy(ids.astype(np.int64)),
+            torch.from_numpy(mask),
+            head_mask=torch.from_numpy(head_mask),
+            output_hidden_states=True,
+        )
+    last, _, aux = _flax_encoder_outputs(pmgt_pair, ids, mask, head_mask)
+    np.testing.assert_allclose(np.asarray(last), _t2n(t_out), atol=ATOL)
+
+    # and the mask has a real effect vs the unmasked pass
+    unmasked, _, _ = _flax_encoder_outputs(pmgt_pair, ids, mask)
+    assert np.abs(np.asarray(last) - np.asarray(unmasked)).max() > 1e-4
