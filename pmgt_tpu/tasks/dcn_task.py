@@ -27,7 +27,12 @@ from pmgt_tpu.data.interactions import (
 from pmgt_tpu.metrics.ranking import roc_auc, stable_sigmoid
 from pmgt_tpu.models.dcn import DCN
 from pmgt_tpu.models.ncf import inject_item_embeddings
-from pmgt_tpu.core.mesh import gather_to_host, put_along_data_axis, replicate_host
+from pmgt_tpu.core.mesh import (
+    gather_to_host,
+    pad_to_multiple,
+    put_along_data_axis,
+    replicate_host,
+)
 from pmgt_tpu.tasks.interaction_base import InteractionTaskBase, TrainState
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
@@ -90,13 +95,16 @@ class DCNTask(InteractionTaskBase):
             "valid" if split == "valid" else "test"
         ]
         bs = self.args.test_batch_size
+        # every dispatched chunk is padded to one fixed device-divisible
+        # length (bs itself may not be a mesh multiple)
+        target = pad_to_multiple(bs, self.mesh.size)
         probs = []
         losses = []
         rep_params = replicate_host(self.mesh, params)
         for i in range(0, len(users), bs):
             sl = slice(i, i + bs)
             u, it, lb = users[sl], items[sl], labels[sl]
-            pad = (-len(u)) % max(bs, self.mesh.size)
+            pad = target - len(u)
             if pad:
                 u = np.concatenate([u, np.zeros(pad, u.dtype)])
                 it = np.concatenate([it, np.zeros(pad, it.dtype)])

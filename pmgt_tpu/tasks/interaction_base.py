@@ -61,6 +61,17 @@ class InteractionTaskBase:
         self.test_data = test_data
         self.trial = trial
         self.mesh = make_mesh(args.num_devices)
+        # Fail fast at init: a non-divisible batch would otherwise error
+        # mid-epoch inside device_put (batch-dim sharding needs equal
+        # shards per device). Mirrors PMGTTask's check.
+        div = self.mesh.size * args.accumulation_step
+        if args.train_batch_size % div:
+            raise ValueError(
+                f"train_batch_size {args.train_batch_size} must be divisible "
+                f"by num_devices*accumulation ({self.mesh.size}*"
+                f"{args.accumulation_step}); partial trailing batches are "
+                f"dropped, so pick any multiple of {div}"
+            )
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated(self.mesh)
         self.num_ng = args.extra.get("num_ng", 1)

@@ -28,7 +28,12 @@ from pmgt_tpu.data.interactions import (
 )
 from pmgt_tpu.metrics.ranking import get_ndcg, get_recall
 from pmgt_tpu.models.ncf import NCF, fuse_neumf_params, inject_item_embeddings
-from pmgt_tpu.core.mesh import gather_to_host, put_along_data_axis, replicate_host
+from pmgt_tpu.core.mesh import (
+    gather_to_host,
+    pad_to_multiple,
+    put_along_data_axis,
+    replicate_host,
+)
 from pmgt_tpu.tasks.interaction_base import InteractionTaskBase, TrainState
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
@@ -128,12 +133,15 @@ class NCFTask(InteractionTaskBase):
             data, self.args.extra.get("max_sample_items", 1000), key
         )
         bs = max(self.args.test_batch_size // 8, self.mesh.size)
+        # every dispatched chunk is padded to one fixed device-divisible
+        # length (bs itself may not be a mesh multiple)
+        target = pad_to_multiple(bs, self.mesh.size)
         preds = []
         losses = []
         for i in range(0, len(users), bs):
             sl = slice(i, i + bs)
             u = users[sl]
-            pad = (-len(u)) % max(bs, self.mesh.size)
+            pad = target - len(u)
             if pad:
                 u = np.concatenate([u, np.zeros(pad, np.int32)])
                 c = np.concatenate(

@@ -27,6 +27,7 @@ from pmgt_tpu.core.mesh import (
     batch_sharding,
     gather_to_host,
     make_mesh,
+    pad_to_multiple,
     put_along_data_axis,
     replicate_host,
     replicated,
@@ -323,12 +324,15 @@ class PMGTNCFTask:
             data, self.args.extra.get("max_sample_items", 1000), key
         )
         bs = max(self.args.test_batch_size // 64, self.mesh.size)
+        # every dispatched chunk is padded to one fixed device-divisible
+        # length (bs itself may not be a mesh multiple)
+        target = pad_to_multiple(bs, self.mesh.size)
         preds, losses = [], []
         rep_params = replicate_host(self.mesh, params)
         for i in range(0, len(users), bs):
             sl = slice(i, i + bs)
             u = users[sl]
-            pad = (-len(u)) % max(bs, self.mesh.size)
+            pad = target - len(u)
             if pad:
                 u = np.concatenate([u, np.zeros(pad, np.int32)])
                 c = np.concatenate(

@@ -2,7 +2,15 @@
 
 Replaces the reference's Lightning ModelCheckpoint(save_top_k=1,
 save_last=True) keyed on the early-stopping monitor
-(base_trainer.py:283-298)."""
+(base_trainer.py:283-298).
+
+Multi-host: orbax saves/restores are collective (every process calls
+them); the surrounding filesystem bookkeeping (clearing stale tmp dirs,
+the atomic rename) happens on the primary process only, with
+cross-process barriers so non-primaries never race the rename or read a
+half-finalized directory. Assumes the checkpoint path is on storage all
+hosts see (GCS/NFS — the standard TPU-pod arrangement; exercised by the
+2-process smoke in tests/test_multihost.py)."""
 from __future__ import annotations
 
 import json
@@ -15,6 +23,25 @@ import orbax.checkpoint as ocp
 _CHECKPOINTER: Optional[ocp.StandardCheckpointer] = None
 # At most one in-flight async save: (tmp_path, final_path).
 _PENDING: Optional[tuple] = None
+
+
+def _is_primary() -> bool:
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+def _barrier(name: str) -> None:
+    """Cross-process sync point; no-op single-process."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
 
 
 def _ckptr() -> ocp.StandardCheckpointer:
@@ -34,8 +61,12 @@ def wait_for_checkpoints() -> None:
     tmp, final = _PENDING
     _PENDING = None
     _ckptr().wait_until_finished()
-    shutil.rmtree(final, ignore_errors=True)
-    os.replace(tmp, final)
+    # Primary-only rename; barrier so no process reads `final` before the
+    # rename lands (or starts the next save over a half-moved tmp).
+    if _is_primary():
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+    _barrier(f"ckpt_finalize:{final}")
 
 
 def save_checkpoint(path: str, state: Any, block: bool = True) -> None:
@@ -48,7 +79,9 @@ def save_checkpoint(path: str, state: Any, block: bool = True) -> None:
     path = os.path.abspath(path)
     tmp = path + ".tmp_new"
     wait_for_checkpoints()  # at most one outstanding save
-    shutil.rmtree(tmp, ignore_errors=True)
+    if _is_primary():
+        shutil.rmtree(tmp, ignore_errors=True)
+    _barrier(f"ckpt_pre_save:{tmp}")
     ckptr = _ckptr()
     ckptr.save(tmp, state)
     global _PENDING
@@ -68,6 +101,8 @@ def restore_checkpoint(path: str, template: Optional[Any] = None) -> Any:
 
 
 def write_best_info(ckpt_dir: str, monitor: str, value: float, epoch: int) -> None:
+    if not _is_primary():
+        return
     with open(os.path.join(ckpt_dir, "best.json"), "w", encoding="utf-8") as f:
         json.dump(
             {"monitor": monitor, "value": float(value), "epoch": int(epoch)}, f

@@ -74,6 +74,40 @@ def _is_primary() -> bool:
         return True
 
 
+def _shared_run_id() -> str:
+    """A run id every process agrees on. uuid4 would give each process a
+    DIFFERENT id (divergent run dirs, split checkpoints); under
+    multi-process the primary's id is broadcast to everyone."""
+    run_id = uuid.uuid4().hex
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            local = np.frombuffer(bytes.fromhex(run_id), dtype=np.uint8)
+            shared = np.asarray(
+                multihost_utils.broadcast_one_to_all(local)
+            )
+            run_id = bytes(shared.tolist()).hex()
+    except Exception:  # jax not initialized yet: single-process
+        pass
+    return run_id
+
+
+def _sync(name: str) -> None:
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(name)
+    except Exception:
+        pass
+
+
 class RunRegistry:
     def __init__(self, log_dir: str):
         self.log_dir = log_dir
@@ -87,29 +121,37 @@ class RunRegistry:
         run_script: Optional[str] = None,
         run_id: Optional[str] = None,
     ) -> RunInfo:
-        run_id = run_id or uuid.uuid4().hex
+        run_id = run_id or _shared_run_id()
         run_dir = os.path.join(self.log_dir, experiment_name, run_id)
         os.makedirs(os.path.join(run_dir, "checkpoints"), exist_ok=True)
         os.makedirs(os.path.join(run_dir, "artifacts"), exist_ok=True)
 
-        all_tags = {
-            "run_name": run_name,
-            "host": platform.node(),
-            "created_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        }
-        all_tags.update(tags or {})
+        if _is_primary():
+            all_tags = {
+                "run_name": run_name,
+                "host": platform.node(),
+                "created_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+            all_tags.update(tags or {})
 
-        with open(os.path.join(run_dir, "params.json"), "w", encoding="utf-8") as f:
-            json.dump(params, f, indent=2, default=str)
-        with open(os.path.join(run_dir, "tags.json"), "w", encoding="utf-8") as f:
-            json.dump(all_tags, f, indent=2, default=str)
-        if run_script and os.path.exists(run_script):
-            shutil.copy(
-                run_script,
-                os.path.join(run_dir, "artifacts", os.path.basename(run_script)),
-            )
+            with open(
+                os.path.join(run_dir, "params.json"), "w", encoding="utf-8"
+            ) as f:
+                json.dump(params, f, indent=2, default=str)
+            with open(
+                os.path.join(run_dir, "tags.json"), "w", encoding="utf-8"
+            ) as f:
+                json.dump(all_tags, f, indent=2, default=str)
+            if run_script and os.path.exists(run_script):
+                shutil.copy(
+                    run_script,
+                    os.path.join(
+                        run_dir, "artifacts", os.path.basename(run_script)
+                    ),
+                )
         info = RunInfo(run_id, experiment_name, run_dir)
         self.set_status(info, "RUNNING")
+        _sync(f"run_created:{run_id}")
         return info
 
     def get_run(self, run_id: str) -> RunInfo:

@@ -201,3 +201,50 @@ def test_bf16_feat_tables(art):
         task.state, metrics = task.train_step(task.state, batch)
         losses[dtype] = float(jax.device_get(metrics["loss"]))
     assert losses["bfloat16"] == pytest.approx(losses["float32"], rel=5e-2)
+
+
+def test_interaction_batch_divisibility_fails_fast(art):
+    """A train batch not divisible by mesh.size * accumulation must fail
+    at task construction with an actionable message, not mid-epoch
+    inside device_put (VERDICT r2: decide the non-divisible case)."""
+    from pmgt_tpu.data.interactions import InteractionData
+    from pmgt_tpu.tasks import ncf_task
+
+    args = TrainArgs(
+        model_name="GMF",
+        dataset_name="syn",
+        seed=0,
+        num_epochs=1,
+        train_batch_size=100,  # not divisible by the 8-device mesh
+        test_batch_size=64,
+        lr=1e-2,
+        extra=dict(factor_num=4, num_layers=2),
+    )
+    data = InteractionData.build(art.train_pairs, art.num_users, art.num_items)
+    with pytest.raises(ValueError, match="divisible"):
+        ncf_task.NCFTask(args, art, data, data, data)
+
+
+def test_eval_pads_non_multiple_test_batch(art):
+    """test_batch_size that is not a mesh multiple must pad, not crash:
+    the eval chunker rounds every dispatched chunk up to a fixed
+    device-divisible length."""
+    from pmgt_tpu.data.interactions import InteractionData
+    from pmgt_tpu.tasks import dcn_task
+
+    args = TrainArgs(
+        model_name="DCN",
+        dataset_name="syn",
+        seed=0,
+        num_epochs=1,
+        train_batch_size=32,
+        test_batch_size=100,  # 100 % 8 != 0
+        lr=1e-2,
+        extra=dict(factor_num=4, deep_net_num_layers=1,
+                   cross_net_num_layers=1, max_sample_items=3),
+    )
+    data = InteractionData.build(art.train_pairs, art.num_users, art.num_items)
+    task = dcn_task.DCNTask(args, art, data, data, data)
+    metrics = task.evaluate(task.state, "valid")
+    assert np.isfinite(metrics["val/auc"])
+    assert np.isfinite(metrics["val/loss"])
