@@ -126,18 +126,59 @@ def measure_tpu(
         scans.append(scan_s)
     order = np.argsort(rates)
     mid = order[len(order) // 2]
-    nodes_per_sec = rates[mid]
+    nodes_per_sec_blocking = rates[mid]
     n_steps = n
+
+    # --- pipelined sustained rate (the engine's scan-mode pattern) ---
+    # Exactly engine.fit's speculation: dispatch epoch e+1's refresh +
+    # scan BEFORE fetching epoch e's losses, so the per-epoch fetch round
+    # trip overlaps device compute (lag-1 fetch). NB deferring ALL
+    # fetches to the end measures 6-7x WORSE through the axon tunnel —
+    # dispatches are lazy until a fetch demands them — so the fetch lag
+    # must stay bounded; lag 1 and lag 4 measure the same (11.2-11.5
+    # ms/step vs 13.4-14.5 blocking). Honest: state threads sequentially,
+    # every epoch's losses are fetched, and a final params reduction is
+    # fetched too (the last epoch's backward/update cannot be dropped).
+    # NB: no eager jnp ops in this loop — each eager op is its own
+    # tunneled program dispatch and serializes the pipeline (measured
+    # 60+ ms/step with a per-epoch eager jnp.sum). device_get is a pure
+    # d2h fetch, the same thing engine.fit does for its loss logging.
+    n_pipe = 6
+    state = task.state
+    pend = []
+    total_loss = 0.0
+    t0 = time.time()
+    for e in range(1 + n_epochs, 1 + n_epochs + n_pipe):
+        task.on_epoch_start(e)
+        state, losses = task.train_epoch(state, e)
+        pend.append(losses)
+        if len(pend) > 1:
+            total_loss += float(np.asarray(jax.device_get(pend.pop(0))).sum())
+    for p in pend:
+        total_loss += float(np.asarray(jax.device_get(p)).sum())
+    # force the last epoch's update path (fetch a param leaf)
+    leaf = jax.tree.leaves(state.params)[0]
+    float(np.asarray(jax.device_get(leaf)).ravel()[0])
+    jax.block_until_ready(state)
+    pipelined_wall = time.time() - t0
+    task.state = state
+    nodes_per_sec = batch_size * n_steps * n_pipe / pipelined_wall
+    assert np.isfinite(total_loss)
+
     return {
         "nodes_per_sec": nodes_per_sec,
+        "nodes_per_sec_blocking": nodes_per_sec_blocking,
         "nodes_per_sec_all_epochs": [round(r) for r in sorted(rates)],
         "compile_plus_warmup_s": compile_time,
         "n_devices": task.mesh.size,
         "loss": float(jax.device_get(metrics["loss"])),
-        # step-time decomposition (median epoch): per-epoch cache refresh
-        # (sampling) vs the fwd/bwd/update scan
+        # step-time decomposition (median blocking epoch): per-epoch cache
+        # refresh (sampling) vs the fwd/bwd/update scan
         "refresh_dispatch_ms_per_epoch": round(refreshes[mid] * 1e3, 2),
         "scan_ms_per_step": round(scans[mid] * 1e3 / max(n_steps, 1), 3),
+        "pipelined_ms_per_step": round(
+            pipelined_wall * 1e3 / max(n_steps * n_pipe, 1), 3
+        ),
         "steps_per_epoch": n_steps,
     }
 
@@ -279,6 +320,12 @@ def main():
         # decomposition: per-epoch sampling refresh vs fwd/bwd scan
         "refresh_dispatch_ms_per_epoch": result["refresh_dispatch_ms_per_epoch"],
         "scan_ms_per_step": result["scan_ms_per_step"],
+        # wall per step in the pipelined (engine-style) schedule vs the
+        # epoch-blocking rate it replaced
+        "pipelined_ms_per_step": result["pipelined_ms_per_step"],
+        "blocking_nodes_per_sec_per_chip": round(
+            result["nodes_per_sec_blocking"] / result["n_devices"], 2
+        ),
     }
     if exact_per_chip is not None:
         out["exact_mode_nodes_per_sec_per_chip"] = round(exact_per_chip, 2)

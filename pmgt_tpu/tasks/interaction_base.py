@@ -128,7 +128,9 @@ class InteractionTaskBase:
                 body, state, (users_all, items_all, labels_all, keys)
             )
 
-        self._train_epoch_fn = jax.jit(_epoch_impl, donate_argnums=(0,))
+        # No donation: the engine's pipelined scan mode reads the
+        # pre-epoch state after dispatch (eval/checkpoint/speculation).
+        self._train_epoch_fn = jax.jit(_epoch_impl)
 
     # ------------------------------------------------------------------
     def _loss_fn(self, params, users, items, labels, key):

@@ -252,9 +252,13 @@ class PMGTTask:
         # latency is high (device-side step time measured 10.7 ms vs ~23 ms
         # per step with per-step dispatch through a remote tunnel).
         self.use_scan_epoch = bool(args.extra.get("scan_epoch", True))
+        # NB: the epoch runner does NOT donate its input state — the
+        # engine's pipelined scan mode keeps the pre-epoch state alive
+        # (eval, checkpointing, and the speculative next-epoch dispatch
+        # all read it after this dispatch). One extra copy of
+        # params+opt_state per epoch is noise next to the epoch itself.
         self._train_epoch_fn = jax.jit(
-            partial(self._epoch_impl, accum=args.accumulation_step),
-            donate_argnums=(0,),
+            partial(self._epoch_impl, accum=args.accumulation_step)
         )
         self._eval_step_fn = jax.jit(self._eval_step_impl)
         self._encode_fn = jax.jit(self._encode_impl)

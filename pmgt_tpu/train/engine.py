@@ -209,16 +209,32 @@ def fit(
 
     guard = _PreemptionGuard()
     guard.__enter__()
+    # Pipelined scan mode: the NEXT epoch's refresh + scan are dispatched
+    # BEFORE this epoch's losses/metrics are fetched, so the dispatch RTT
+    # and all host-side work (logging, checkpoint d2h, early-stop
+    # bookkeeping) overlap device compute — device-side traces showed
+    # ~20% of wall time going to the per-epoch fetch stall otherwise.
+    # Safe because epoch runners do not donate their input state; on an
+    # early stop the speculative epoch's result is simply discarded (the
+    # reference's semantics only promise the best checkpoint, which is
+    # already saved).
+    spec = None  # (state_after, losses_device) for the current epoch
     try:
         for epoch in range(start_epoch, num_epochs):
-            task.on_epoch_start(epoch)
             epoch_start = time.time()
 
             if epoch_runner is not None:
-                # Whole-epoch scan: one dispatch, per-step losses come back as
-                # a device array.
-                state, losses = epoch_runner(state, epoch)
-                losses = np.asarray(jax.device_get(losses), dtype=np.float64)
+                if spec is None:
+                    task.on_epoch_start(epoch)
+                    state_next, losses_dev = epoch_runner(state, epoch)
+                else:
+                    state_next, losses_dev = spec
+                    spec = None
+                if epoch + 1 < num_epochs and not guard.requested:
+                    task.on_epoch_start(epoch + 1)
+                    spec = epoch_runner(state_next, epoch + 1)
+                state = state_next
+                losses = np.asarray(jax.device_get(losses_dev), dtype=np.float64)
                 n_batches = len(losses)
                 global_step += n_batches
                 train_loss = float(losses.mean()) if n_batches else float("nan")
@@ -226,6 +242,7 @@ def fit(
                     float(losses[-100:].mean()) if n_batches else float("nan")
                 )
             else:
+                task.on_epoch_start(epoch)
                 train_losses = []
                 n_batches = 0
                 for batch in task.train_batches(epoch):

@@ -279,3 +279,34 @@ def test_scan_mode_train_loss_is_epoch_mean(tmp_path):
     metrics = {m["name"]: m["value"] for m in run.metrics()}
     assert metrics["loss/train"] == pytest.approx(0.5)
     assert metrics["loss/train_last100"] == pytest.approx(0.0)
+
+
+def test_pipelined_scan_discards_speculative_epoch():
+    """Scan mode speculatively dispatches epoch k+1 before epoch k's
+    metrics are fetched. On early stop the speculative epoch's state must
+    be discarded: task.state reflects only the PROCESSED epochs, and the
+    best value matches the non-pipelined semantics."""
+
+    class ScanTask(FakeTask):
+        use_scan_epoch = True
+
+        def __init__(self, seq):
+            super().__init__(seq)
+            self.state = {"count": jnp.asarray(0)}
+            self.epoch_calls = []
+
+        def train_epoch(self, state, epoch):
+            self.epoch_calls.append(epoch)
+            return {"count": state["count"] + 1}, jnp.ones((3,))
+
+    # val sequence: best at epoch 1, patience 2 -> stops after epoch 3
+    task = ScanTask([0.5, 0.9, 0.6, 0.5, 0.4, 0.3])
+    res = engine.fit(
+        task, num_epochs=10, early=2, early_criterion="auc", log_every=0
+    )
+    assert res["best"] == pytest.approx(0.9)
+    assert task.evals == 4  # epochs 0..3 evaluated, like the eager path
+    # epochs dispatched: 0..3 processed + the epoch-4 speculation
+    assert task.epoch_calls == [0, 1, 2, 3, 4]
+    # state counts only PROCESSED epochs (speculative epoch 4 discarded)
+    assert int(task.state["count"]) == 4
