@@ -116,7 +116,14 @@ class InteractionTaskBase:
         # Whole-epoch scan runner (see pmgt_task.train_epoch).
         self.use_scan_epoch = bool(args.extra.get("scan_epoch", True))
 
-        def _epoch_impl(state, users_all, items_all, labels_all, keys):
+        def _epoch_impl(state, users_all, items_all, labels_all, seed):
+            # per-step keys derive in-program from the seed scalar: eager
+            # key/split ops outside jit would serialize the pipelined
+            # epoch dispatch through the tunnel (CLAUDE.md)
+            keys = jax.random.split(
+                jax.random.key(seed), users_all.shape[0]
+            )
+
             def body(st, xs):
                 u, i, l, k = xs
                 st, metrics = self._train_step_impl(
@@ -238,9 +245,8 @@ class InteractionTaskBase:
         labels_all = put_along_data_axis(
             self.mesh, labels[:cut].astype(np.float32).reshape(n_full, bs), axis=1
         )
-        base = jax.random.key(np.uint32(self.args.seed * 13 + epoch * 100_003))
-        keys = jax.random.split(base, n_full)
-        return self._train_epoch_fn(state, users_all, items_all, labels_all, keys)
+        seed = np.uint32(self.args.seed * 13 + epoch * 100_003)
+        return self._train_epoch_fn(state, users_all, items_all, labels_all, seed)
 
     def should_prune(self, value: float, epoch: int) -> bool:
         if self.trial is None:

@@ -192,7 +192,13 @@ class PMGTNCFTask:
         # Whole-epoch scan runner (see pmgt_task.train_epoch).
         self.use_scan_epoch = bool(e.get("scan_epoch", True))
 
-        def _epoch_impl(state, users_all, items_all, labels_all, keys, ctx):
+        def _epoch_impl(state, users_all, items_all, labels_all, seed, ctx):
+            # per-step keys derive in-program (eager key ops would
+            # serialize the pipelined dispatch, CLAUDE.md)
+            keys = jax.random.split(
+                jax.random.key(seed), users_all.shape[0]
+            )
+
             def body(st, xs):
                 u, i, l, k = xs
                 st, metrics = self._train_step_impl(st, u, i, l, k, ctx)
@@ -309,10 +315,9 @@ class PMGTNCFTask:
         labels_all = put_along_data_axis(
             self.mesh, labels[:cut].astype(np.float32).reshape(n_full, bs), axis=1
         )
-        base = jax.random.key(np.uint32(self.args.seed * 13 + epoch * 100_003))
-        keys = jax.random.split(base, n_full)
+        seed = np.uint32(self.args.seed * 13 + epoch * 100_003)
         return self._train_epoch_fn(
-            state, users_all, items_all, labels_all, keys, self._ctx_cache
+            state, users_all, items_all, labels_all, seed, self._ctx_cache
         )
 
     def evaluate(self, state, split: str = "valid") -> Dict[str, float]:

@@ -228,19 +228,30 @@ class PMGTTask:
         self._all_nodes = replicate_host(
             self.mesh, np.arange(n_total, dtype=np.int32)
         )
+        # Key derivation happens INSIDE each jit (from a seed scalar):
+        # eager key/split programs before the dispatch would serialize
+        # the epoch pipeline through the tunnel. The in-program
+        # derivation reproduces the previous split(key(seed)) stream
+        # bit-for-bit.
+        def _ctx_key(seed):
+            return jax.random.split(jax.random.key(seed))[0]
+
+        def _pairs_key(seed):
+            return jax.random.split(jax.random.key(seed))[1]
+
         self._sample_all_fn = jax.jit(
-            lambda graph, nodes, key: sample_all_contexts(
-                graph, key, self.sampling, n_total, all_nodes=nodes
+            lambda graph, nodes, seed: sample_all_contexts(
+                graph, _ctx_key(seed), self.sampling, n_total, all_nodes=nodes
             )
         )
         self._sample_pairs_train_fn = jax.jit(
-            lambda graph, key: sample_all_pairs(
-                graph, key, self.sampling, n_total, is_training=True
+            lambda graph, seed: sample_all_pairs(
+                graph, _pairs_key(seed), self.sampling, n_total, is_training=True
             )
         )
         self._sample_pairs_eval_fn = jax.jit(
-            lambda graph, key: sample_all_pairs(
-                graph, key, self.sampling, n_total, is_training=False
+            lambda graph, seed: sample_all_pairs(
+                graph, _pairs_key(seed), self.sampling, n_total, is_training=False
             )
         )
         self._train_step_fn = jax.jit(
@@ -338,8 +349,12 @@ class PMGTTask:
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state), metrics
 
-    def _epoch_impl(self, state, targets_all, keys, ctx, accum: int):
-        """lax.scan over an epoch's steps: targets_all [S, B], keys [S]."""
+    def _epoch_impl(self, state, targets_all, seed, ctx, accum: int):
+        """lax.scan over an epoch's steps: targets_all [S, B]; the
+        per-step keys derive from the ``seed`` scalar IN-program — eager
+        key/split ops outside jit are each their own tunneled program
+        dispatch and serialize the epoch pipeline (CLAUDE.md)."""
+        keys = jax.random.split(jax.random.key(seed), targets_all.shape[0])
 
         def body(st, xs):
             t, k = xs
@@ -363,10 +378,7 @@ class PMGTTask:
         targets_all = put_along_data_axis(
             self.mesh, ids[: n_full * bs].reshape(n_full, bs), axis=1
         )
-        base = jax.random.key(
-            np.uint32(self.args.seed * 7_919 + self._step_count + 1)
-        )
-        keys = jax.random.split(base, n_full)
+        seed = np.uint32(self.args.seed * 7_919 + self._step_count + 1)
         self._step_count += n_full
         # NOTE: the cache refresh stays a SEPARATE dispatch on purpose.
         # Folding it into the epoch jit was measured 2.1x slower per step
@@ -376,7 +388,7 @@ class PMGTTask:
         # async — the host never blocks between them — so the separate
         # refresh costs dispatch time only.
         ctx = self._get_ctx(("train", epoch)) if self.use_ctx_cache else None
-        state, losses = self._train_epoch_fn(state, targets_all, keys, ctx)
+        state, losses = self._train_epoch_fn(state, targets_all, seed, ctx)
         return state, losses
 
     def _eval_step_impl(self, params, targets, sample_valid, key, ctx):
@@ -427,14 +439,14 @@ class PMGTTask:
         if not self.use_ctx_cache:
             return None
         if self._ctx_cache_tag != tag:
-            k_ctx, k_pairs = jax.random.split(
-                jax.random.key(self._phase_seed(tag))
+            seed = self._phase_seed(tag)
+            ctx_ids, ctx_mask = self._sample_all_fn(
+                self.graph, self._all_nodes, seed
             )
-            ctx_ids, ctx_mask = self._sample_all_fn(self.graph, self._all_nodes, k_ctx)
             if tag[0] == "train":
-                pairs = self._sample_pairs_train_fn(self.graph, k_pairs)
+                pairs = self._sample_pairs_train_fn(self.graph, seed)
             elif tag[0] in ("valid", "test"):
-                pairs = self._sample_pairs_eval_fn(self.graph, k_pairs)
+                pairs = self._sample_pairs_eval_fn(self.graph, seed)
             else:  # inference never consumes pairs
                 pairs = None
             self._ctx_cache = (ctx_ids, ctx_mask, pairs)

@@ -88,14 +88,20 @@ def timeit(name, fn, *a, n=30):
 
 ctx = task._get_ctx(("train", 0))
 key = jax.random.key(9)
+# The sampler jits take a SEED SCALAR (keys derive in-program); fold the
+# harness key to a per-iteration uint32 seed to keep the data dependency.
 timeit(
     "sample_all_contexts (N=10836)",
-    lambda g, nodes, k: task._sample_all_fn(g, nodes, k),
+    lambda g, nodes, k: task._sample_all_fn(
+        g, nodes, jax.random.bits(k, dtype=jnp.uint32)
+    ),
     graph, task._all_nodes, key, n=5,
 )
 timeit(
     "sample_all_pairs (N=10836)",
-    lambda g, k: task._sample_pairs_train_fn(g, k),
+    lambda g, k: task._sample_pairs_train_fn(
+        g, jax.random.bits(k, dtype=jnp.uint32)
+    ),
     graph, key, n=5,
 )
 timeit(
