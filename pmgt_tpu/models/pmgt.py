@@ -220,24 +220,29 @@ class PMGTSelfAttention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        hidden: Array,
-        additive_mask: Optional[Array],
+        hidden_sm: Array,  # [S, B, H] seq-major (see PMGTModel)
+        masks,  # (additive_4d [B,1,1,S], additive_bs [B,S])
         deterministic: bool = True,
         head_mask: Optional[Array] = None,
         output_attentions: bool = False,
     ) -> Tuple[Array, Optional[Array]]:
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
-        b, s, _ = hidden.shape
+        s, b, _ = hidden_sm.shape
         h, d = cfg.num_attention_heads, cfg.head_dim
+        additive_4d, additive_bs = masks
+
+        flat = hidden_sm.reshape(s * b, hidden_sm.shape[-1])
 
         def proj(name):
+            # [S*B, all_head] — rows stay seq-major; the [S, B*h, d] view
+            # below is a free leading-dim split (no relayout)
             return nn.Dense(
                 cfg.all_head_size,
                 kernel_init=_normal_init(cfg.initializer_range),
                 dtype=dtype,
                 name=name,
-            )(hidden).reshape(b, s, h, d).transpose(0, 2, 1, 3)
+            )(flat)
 
         query = proj("query")
         key = proj("key")
@@ -264,10 +269,14 @@ class PMGTSelfAttention(nn.Module):
             pos = jnp.arange(s)
             distance = pos[:, None] - pos[None, :]
             rel = distance_emb[distance + cfg.max_position_embeddings - 1]
-            rel_scores = jnp.einsum("bhld,lrd->bhlr", query, rel)
+            # query/key are flat seq-major [S*B, h*d]; view as [S, B, h, d]
+            # (l/r = query/key position) for the relative-score einsums.
+            q_sm = query.reshape(s, b, h, d)
+            rel_scores = jnp.einsum("lbhd,lrd->bhlr", q_sm, rel)
             if cfg.position_embedding_type == "relative_key_query":
+                k_sm = key.reshape(s, b, h, d)
                 rel_scores = rel_scores + jnp.einsum(
-                    "bhrd,lrd->bhlr", key, rel
+                    "rbhd,lrd->bhlr", k_sm, rel
                 )
             scores2_bias = rel_scores / jnp.sqrt(jnp.asarray(d, dtype))
 
@@ -282,26 +291,32 @@ class PMGTSelfAttention(nn.Module):
             and head_mask is None
             and not output_attentions
         ):
-            from pmgt_tpu.ops.dual_attention import dual_attention_pallas
+            from pmgt_tpu.ops.dual_attention import dual_attention_pallas_sm
 
-            out = dual_attention_pallas(
-                query,
-                key,
-                value,
-                ctx,
-                additive_mask,
+            fold = lambda x: x.reshape(s, b * h, d)  # noqa: E731 free view
+            mask_nb = jnp.broadcast_to(
+                additive_bs[:, None, :], (b, h, s)
+            ).reshape(b * h, s)
+            out = dual_attention_pallas_sm(
+                fold(query),
+                fold(key),
+                fold(value),
+                fold(ctx),
+                mask_nb,
                 beta=cfg.beta,
                 dropout_rate=cfg.attention_probs_dropout_prob,
                 deterministic=deterministic,
                 dropout_rng=dropout_rng,
             )
+            out = out.reshape(s, b, cfg.all_head_size)
         else:
+            to_bm = lambda x: x.reshape(s, b, h, d).transpose(1, 2, 0, 3)  # noqa: E731
             out = dual_attention_xla(
-                query,
-                key,
-                value,
-                ctx,
-                additive_mask,
+                to_bm(query),
+                to_bm(key),
+                to_bm(value),
+                to_bm(ctx),
+                additive_4d,
                 beta=cfg.beta,
                 dropout_rate=cfg.attention_probs_dropout_prob,
                 deterministic=deterministic,
@@ -312,7 +327,8 @@ class PMGTSelfAttention(nn.Module):
             )
             if output_attentions:
                 out, probs = out
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, cfg.all_head_size)
+            # [B, h, S, d] -> [S, B, h*d]
+            out = out.transpose(2, 0, 1, 3).reshape(s, b, cfg.all_head_size)
         return out, probs
 
 
@@ -326,8 +342,8 @@ class PMGTLayer(nn.Module):
     @nn.compact
     def __call__(
         self,
-        hidden: Array,
-        additive_mask: Optional[Array],
+        hidden: Array,  # [S, B, H] seq-major
+        masks,  # (additive_4d, additive_bs) — see PMGTSelfAttention
         deterministic: bool = True,
         head_mask: Optional[Array] = None,
         output_attentions: bool = False,
@@ -336,19 +352,19 @@ class PMGTLayer(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
 
         attn, probs = PMGTSelfAttention(cfg, name="self_attention")(
-            hidden, additive_mask, deterministic, head_mask, output_attentions
+            hidden, masks, deterministic, head_mask, output_attentions
         )
 
-        # Lane packing: run the dense/LN/GELU segment on [B*S, H].
-        # The short sequence axis (S = 1 + max_ctx_neigh = 6) maps to the
-        # 8-row sublane tile and wastes 25% of every elementwise op on
-        # [B, 6, H]; [B*S, H] tiles perfectly and the reshapes are
-        # layout-preserving bitcasts. Measured fwd+bwd 1.14x on the
-        # FFN/LN segment at [6144, 6, 128] (tools/pack_experiment.py).
+        # Lane packing: run the dense/LN/GELU segment on flat [S*B, H]
+        # rows. The short sequence axis (S = 1 + max_ctx_neigh = 6) maps
+        # to the 8-row sublane tile and wastes 25% of every elementwise
+        # op in rank-3 form; flat rows tile perfectly and — because the
+        # stream is seq-major — the [S, B, H] <-> [S*B, H] reshapes and
+        # the attention kernel's position slices are all layout-free.
         # Parameter shapes are unchanged (Dense/LN act on the last dim).
         # NB: attn's width can differ from hidden_size under head pruning.
-        b, s, _ = attn.shape
-        attn = attn.reshape(b * s, attn.shape[-1])
+        s, b, _ = attn.shape
+        attn = attn.reshape(s * b, attn.shape[-1])
         attn = nn.Dense(
             cfg.hidden_size,
             kernel_init=_normal_init(cfg.initializer_range),
@@ -360,7 +376,7 @@ class PMGTLayer(nn.Module):
         )
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=dtype, name="attention_norm"
-        )(attn + hidden.reshape(b * s, hidden.shape[-1]))
+        )(attn + hidden.reshape(s * b, hidden.shape[-1]))
 
         inter = nn.Dense(
             cfg.intermediate_size,
@@ -382,7 +398,7 @@ class PMGTLayer(nn.Module):
         out = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=dtype, name="output_norm"
         )(out + hidden)
-        return out.reshape(b, s, -1), probs
+        return out.reshape(s, b, -1), probs
 
 
 class PMGTModel(nn.Module):
@@ -448,24 +464,33 @@ class PMGTModel(nn.Module):
 
         if attention_mask is None:
             attention_mask = jnp.ones((b, s), dtype)
-        additive = _additive_mask(attention_mask, dtype)[:, None, None, :]
+        additive_bs = _additive_mask(attention_mask, dtype)  # [B, S]
+        masks = (additive_bs[:, None, None, :], additive_bs)
 
         hidden = self.embeddings(feat_embeds, deterministic, projected)
         all_hidden = [hidden] if output_hidden_states else None
         all_attn = [] if output_attentions else None
+        # The residual stream runs SEQ-MAJOR [S, B, H] through the
+        # layers: position slices and the flat [S*B, H] FFN rows are
+        # then layout-free views, which removes the per-layer relayout
+        # copies the batch-major form paid at every Pallas-call boundary
+        # (~1.25 ms/step of "data formatting" in the round-3 trace).
+        # Public inputs/outputs stay batch-major [B, S, H].
+        hidden = jnp.transpose(hidden, (1, 0, 2))
         for i, layer in enumerate(self.layers):
             layer_head_mask = None
             if head_mask is not None:
                 hm = jnp.asarray(head_mask)
                 layer_head_mask = hm[i] if hm.ndim > 1 else hm
             hidden, probs = layer(
-                hidden, additive, deterministic, layer_head_mask,
+                hidden, masks, deterministic, layer_head_mask,
                 output_attentions,
             )
             if output_hidden_states:
-                all_hidden.append(hidden)
+                all_hidden.append(jnp.transpose(hidden, (1, 0, 2)))
             if output_attentions:
                 all_attn.append(probs)
+        hidden = jnp.transpose(hidden, (1, 0, 2))
 
         pooled = None
         if self.add_pooling_layer:

@@ -150,3 +150,86 @@ def test_model_with_pallas_attention():
         )
         outs[impl] = float(out.loss)
     assert outs["xla"] == pytest.approx(outs["pallas"], rel=1e-5)
+
+
+# ----------------------------------------------------------------------
+# Seq-major kernels ([S, N, d] layout — the model's default TPU path)
+# ----------------------------------------------------------------------
+
+def _sm_inputs(n=10, s=6, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    q, k, v, c = (
+        jnp.asarray(rng.normal(size=(s, n, d)).astype(np.float32))
+        for _ in range(4)
+    )
+    mask = np.zeros((n, s), np.float32)
+    mask[:, s - 1:] = np.finfo(np.float32).min
+    return q, k, v, c, jnp.asarray(mask)
+
+
+def _xla_from_sm(q, k, v, c, mask_bs, beta):
+    """Reference: run dual_attention_xla on the transposed inputs."""
+    to_bm = lambda x: jnp.transpose(x, (1, 0, 2))[:, None]  # [N,1,S,d]
+    out = dual_attention_xla(
+        to_bm(q), to_bm(k), to_bm(v), to_bm(c),
+        mask_bs[:, None, None, :], beta, 0.0, True, None,
+    )  # [N, 1, S, d]
+    return jnp.transpose(out[:, 0], (1, 0, 2))  # [S, N, d]
+
+
+@pytest.mark.parametrize("beta", [0.0, 0.5, 1.0])
+def test_sm_forward_matches_xla(beta):
+    from pmgt_tpu.ops.dual_attention import dual_attention_pallas_sm
+
+    q, k, v, c, mask = _sm_inputs()
+    a = _xla_from_sm(q, k, v, c, mask, beta)
+    b = dual_attention_pallas_sm(q, k, v, c, mask, beta, 0.0, True, None)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_sm_gradients_match_xla():
+    from pmgt_tpu.ops.dual_attention import dual_attention_pallas_sm
+
+    q, k, v, c, mask = _sm_inputs(seed=4)
+
+    def loss_x(q, k, v, c):
+        return jnp.sum(_xla_from_sm(q, k, v, c, mask, 0.3) ** 2)
+
+    def loss_p(q, k, v, c):
+        return jnp.sum(
+            dual_attention_pallas_sm(q, k, v, c, mask, 0.3, 0.0, True, None)
+            ** 2
+        )
+
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(q, k, v, c)
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(q, k, v, c)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_sm_dropout_preserves_expectation():
+    from pmgt_tpu.ops.dual_attention import dual_attention_pallas_sm
+
+    q, k, v, c, mask = _sm_inputs(n=32, seed=6)
+    det = dual_attention_pallas_sm(q, k, v, c, mask, 0.5, 0.0, True, None)
+    outs = []
+    for i in range(120):
+        outs.append(
+            dual_attention_pallas_sm(
+                q, k, v, c, mask, 0.5, 0.3, False, jax.random.key(i)
+            )
+        )
+    mean = np.mean([np.asarray(o) for o in outs], axis=0)
+    np.testing.assert_allclose(mean, np.asarray(det), atol=0.15)
+
+
+def test_sm_unpadded_n_not_multiple_of_block():
+    from pmgt_tpu.ops.dual_attention import dual_attention_pallas_sm
+
+    q, k, v, c, mask = _sm_inputs(n=37, seed=7)
+    out = dual_attention_pallas_sm(q, k, v, c, mask, 0.4, 0.0, True, None)
+    ref = _xla_from_sm(q, k, v, c, mask, 0.4)
+    assert out.shape == (6, 37, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
