@@ -1,0 +1,148 @@
+"""Interleaved within-process A/B of two train-step configurations on TPU.
+
+Cross-process A/Bs on the pool-shared chip confound variant effects with
+chip-load drift (±0.5 ms/step observed between runs minutes apart). This
+harness compiles the full train step for BOTH configurations in one
+process, then alternates timed executions A,B,A,B,... with per-rep
+distinct keys (tunnel memoization guard), so both variants see the same
+chip weather.
+
+Timing per the CLAUDE.md measurement rule: each sample is ONE jitted
+lax.scan of n steps, state threaded through the scan (real data
+dependencies), every metric leaf reduced into one fetched scalar.
+
+Usage (B-side config overrides as key=value extras; A is the default):
+  python tools/ab_step.py --b attention_impl=xla
+  python tools/ab_step.py --b hidden_size=256 --batch 1024
+
+Round-3 verdicts measured with this harness (B=512, TG scale):
+  - scatter-free fused project+gather backward: +1.3 ms/step WORSE
+    (10.64 -> 11.97 median; raw-row re-gather of the 1536/768-wide
+    tables costs more than the 2 x 0.25 ms scatter-adds it removed).
+  - attention residual stash (p1/p2/cos stashed fwd->bwd): +0.3 ms/step
+    WORSE (11.26 -> 11.53 median; the recompute backward is
+    bandwidth-bound, so skipping its FLOPs buys nothing and the
+    residual I/O adds cost). Both variants were removed again.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax import flatten_util
+
+from pmgt_tpu.core.config import TrainArgs
+from pmgt_tpu.data.synthetic import make_synthetic_dataset
+from pmgt_tpu.tasks.pmgt_task import PMGTTask
+
+
+def _parse_extra(pairs):
+    out = {}
+    for p in pairs:
+        k, v = p.split("=", 1)
+        for cast in (int, float):
+            try:
+                v = cast(v)
+                break
+            except ValueError:
+                continue
+        out[k] = v
+    return out
+
+
+def build_task(art, batch, extra_overrides):
+    extra = dict(
+        hidden_size=128, intermediate_size=128, num_hidden_layers=5
+    )
+    extra.update(extra_overrides)
+    args = TrainArgs(
+        model_name="PMGT", dataset_name="bench", seed=0, num_epochs=1,
+        train_batch_size=batch, test_batch_size=batch, lr=1e-4,
+        mp_enabled=True, gradient_max_norm=5.0, extra=extra,
+    )
+    nodes = np.arange(2, art.num_nodes + 2, dtype=np.int32)
+    return PMGTTask(args, art, nodes, nodes[:batch])
+
+
+def build_runner(task, n):
+    """One jitted scan of n full train steps, state threaded, scalar out."""
+
+    def run(state, graph, ctx, targets, key):
+        def body(carry, i):
+            state, acc = carry
+            k_i = jax.random.fold_in(key, i)
+            state, metrics = task._train_step_impl(
+                state, targets, k_i, ctx, accum=1
+            )
+            flat, _ = flatten_util.ravel_pytree(
+                jax.tree.map(
+                    lambda l: jnp.sum(l.astype(jnp.float32)), metrics
+                )
+            )
+            return (state, acc + jnp.sum(flat)), None
+
+        (state, acc), _ = jax.lax.scan(
+            body, (state, jnp.float32(0.0)), jnp.arange(n)
+        )
+        return acc
+
+    return jax.jit(run)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", nargs="+", default=[],
+                    help="key=value TrainArgs.extra overrides for variant B")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--n", type=int, default=30)
+    args = ap.parse_args()
+
+    art = make_synthetic_dataset(
+        num_nodes=10834, num_users=100, feat_dims=(1536, 768),
+        interactions_per_user=2, avg_degree=16, seed=0,
+    )
+    variants = {"A": {}, "B": _parse_extra(args.b)}
+    key = jax.random.key(9)
+
+    runners = {}
+    for name, overrides in variants.items():
+        task = build_task(art, args.batch, overrides)
+        ctx = task._get_ctx(("train", 0))
+        targets = jnp.arange(2, 2 + args.batch, dtype=jnp.int32)
+        fn = build_runner(task, args.n)
+        t0 = time.time()
+        float(fn(task.state, task.graph, ctx, targets, key))
+        print(f"{name} {overrides or '(default)'}: compiled+warm "
+              f"in {time.time()-t0:.0f}s", flush=True)
+        runners[name] = (fn, task.state, task.graph, ctx, targets)
+
+    samples = {n: [] for n in variants}
+    r = 0
+    for rep in range(args.reps):
+        for name in variants:
+            r += 1
+            fn, state, graph, ctx, targets = runners[name]
+            k = jax.random.fold_in(key, 10_000 + r)
+            t0 = time.perf_counter()
+            float(fn(state, graph, ctx, targets, k))
+            ms = (time.perf_counter() - t0) * 1e3 / args.n
+            samples[name].append(ms)
+            print(f"rep {rep} {name}: {ms:.3f} ms/step", flush=True)
+    for name in variants:
+        s = samples[name]
+        print(
+            f"{name}: median {np.median(s):.3f} min {min(s):.3f} "
+            f"ms/step over {len(s)} samples "
+            f"({args.batch / np.median(s) * 1e3:,.0f} nodes/sec)"
+        )
+
+
+if __name__ == "__main__":
+    main()
