@@ -19,6 +19,7 @@ the identical dropout pattern.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -347,8 +348,11 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 # becomes S lane-reductions per score row, all on dense [TB, d] tiles.
 # ---------------------------------------------------------------------------
 
-BLOCK_N_SM = 256
-BLOCK_N_SM_BWD = 128
+# Overridable for block-size sweeps (tools/bench_attn.py). The round-3
+# sweep was flat (±2%) across the feasible range — fwd 512 / bwd 256
+# scoped-VMEM OOM — so the defaults are uncritical.
+BLOCK_N_SM = int(os.environ.get("PMGT_TPU_ATTN_BLOCK", "256"))
+BLOCK_N_SM_BWD = int(os.environ.get("PMGT_TPU_ATTN_BLOCK_BWD", "128"))
 
 
 def _kernel_sm(q_ref, k_ref, v_ref, c_ref, mask_ref, m1_ref, m2_ref,

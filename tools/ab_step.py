@@ -61,6 +61,7 @@ def build_task(art, batch, extra_overrides):
         hidden_size=128, intermediate_size=128, num_hidden_layers=5
     )
     extra.update(extra_overrides)
+    batch = extra.pop("batch", batch)  # "batch=N" override for B-side
     args = TrainArgs(
         model_name="PMGT", dataset_name="bench", seed=0, num_epochs=1,
         train_batch_size=batch, test_batch_size=batch, lr=1e-4,
@@ -115,7 +116,8 @@ def main():
     for name, overrides in variants.items():
         task = build_task(art, args.batch, overrides)
         ctx = task._get_ctx(("train", 0))
-        targets = jnp.arange(2, 2 + args.batch, dtype=jnp.int32)
+        batch = task.args.train_batch_size
+        targets = jnp.arange(2, 2 + batch, dtype=jnp.int32)
         fn = build_runner(task, args.n)
         t0 = time.time()
         float(fn(task.state, task.graph, ctx, targets, key))
@@ -137,10 +139,11 @@ def main():
             print(f"rep {rep} {name}: {ms:.3f} ms/step", flush=True)
     for name in variants:
         s = samples[name]
+        batch = len(runners[name][4])
         print(
             f"{name}: median {np.median(s):.3f} min {min(s):.3f} "
             f"ms/step over {len(s)} samples "
-            f"({args.batch / np.median(s) * 1e3:,.0f} nodes/sec)"
+            f"({batch / np.median(s) * 1e3:,.0f} nodes/sec)"
         )
 
 

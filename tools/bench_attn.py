@@ -69,7 +69,13 @@ def main():
     ap.add_argument("--layers", type=int, default=5)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument("--blocks", default="256:128",
+                    help="comma list of fwd:bwd block-size variants to "
+                    "sweep interleaved, e.g. 256:128,512:256,1024:512")
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
+
+    import pmgt_tpu.ops.dual_attention as attn_mod
 
     s = 6
     rng = np.random.default_rng(0)
@@ -81,19 +87,40 @@ def main():
     mask = jnp.zeros((args.n, s), dt)
     key = jax.random.key(0)
 
-    fn = build(args.n, args.d, args.layers, args.dropout)
-    float(fn(q, k, v, c, mask, key, args.steps))  # compile + warm
-    for rep in range(3):
-        t0 = time.perf_counter()
-        float(fn(q, k, v, c, mask, jax.random.fold_in(key, rep + 1),
-                 args.steps))
-        dt_ms = (time.perf_counter() - t0) * 1e3 / args.steps
-        print(
-            f"rep={rep}: {dt_ms:.3f} ms per "
-            f"{args.layers}-layer fwd+bwd iter "
-            f"({dt_ms / args.layers:.3f} ms/layer)",
-            flush=True,
-        )
+    variants = []
+    for spec in args.blocks.split(","):
+        fwd_b, bwd_b = (int(x) for x in spec.split(":"))
+        # Module globals are read at trace time, so set-then-jit builds
+        # each variant with its own blocks (one process, interleavable).
+        attn_mod.BLOCK_N_SM = fwd_b
+        attn_mod.BLOCK_N_SM_BWD = bwd_b
+        fn = build(args.n, args.d, args.layers, args.dropout)
+        t0 = time.time()
+        try:
+            float(fn(q, k, v, c, mask, key, args.steps))  # compile + warm
+        except Exception as e:  # scoped-VMEM OOM etc: skip this variant
+            msg = str(e).splitlines()[0][:160]
+            print(f"{spec}: SKIPPED ({msg})", flush=True)
+            continue
+        print(f"{spec}: compiled+warm in {time.time()-t0:.0f}s", flush=True)
+        variants.append((spec, fn))
+
+    samples = {spec: [] for spec, _ in variants}
+    r = 0
+    for rep in range(args.reps):
+        for spec, fn in variants:
+            r += 1
+            t0 = time.perf_counter()
+            float(fn(q, k, v, c, mask, jax.random.fold_in(key, r),
+                     args.steps))
+            dt_ms = (time.perf_counter() - t0) * 1e3 / args.steps
+            samples[spec].append(dt_ms / args.layers)
+            print(f"rep={rep} blocks={spec}: {dt_ms:.3f} ms/iter "
+                  f"({dt_ms / args.layers:.3f} ms/layer)", flush=True)
+    for spec, _ in variants:
+        sm = samples[spec]
+        print(f"blocks={spec}: median {np.median(sm):.3f} "
+              f"min {min(sm):.3f} ms/layer")
 
 
 if __name__ == "__main__":
