@@ -192,7 +192,8 @@ class PMGTNCFTask:
         # Whole-epoch scan runner (see pmgt_task.train_epoch).
         self.use_scan_epoch = bool(e.get("scan_epoch", True))
 
-        def _epoch_impl(state, users_all, items_all, labels_all, seed, ctx):
+        def _epoch_impl(state, feat_tables, users_all, items_all,
+                        labels_all, seed, ctx):
             # per-step keys derive in-program (eager key ops would
             # serialize the pipelined dispatch, CLAUDE.md)
             keys = jax.random.split(
@@ -201,7 +202,9 @@ class PMGTNCFTask:
 
             def body(st, xs):
                 u, i, l, k = xs
-                st, metrics = self._train_step_impl(st, u, i, l, k, ctx)
+                st, metrics = self._train_step_impl(
+                    st, feat_tables, u, i, l, k, ctx
+                )
                 return st, metrics["loss"]
 
             return jax.lax.scan(
@@ -217,12 +220,17 @@ class PMGTNCFTask:
         nodes = self.item_to_node[items]
         return ctx[0][nodes], ctx[1][nodes]
 
-    def _train_step_impl(self, state, users, items, labels, key, ctx):
+    def _train_step_impl(self, state, feat_tables, users, items, labels,
+                         key, ctx):
+        # feat_tables enter as a jit parameter, not via closure:
+        # closure-captured arrays become literal constants in the lowered
+        # module, scaling the compile payload with the graph (see
+        # pmgt_task._train_step_impl).
         def loss_fn(params):
             seqs, mask = self._item_seqs(items, ctx)
             logits = self.model.apply(
                 {"params": params},
-                self.feat_tables,
+                feat_tables,
                 users,
                 seqs,
                 mask,
@@ -237,13 +245,14 @@ class PMGTNCFTask:
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state), {"loss": loss}
 
-    def _rank_impl(self, params, users, candidates, cand_mask, ctx):
+    def _rank_impl(self, params, feat_tables, users, candidates,
+                   cand_mask, ctx):
         b, l = candidates.shape
         u = jnp.broadcast_to(users[:, None], candidates.shape).reshape(-1)
         seqs, mask = self._item_seqs(candidates.reshape(-1), ctx)
         logits = self.model.apply(
             {"params": params},
-            self.feat_tables,
+            feat_tables,
             u,
             seqs,
             mask,
@@ -293,7 +302,8 @@ class PMGTNCFTask:
             self.on_epoch_start(0)
         users, items, labels, key = batch
         return self._train_step_fn(
-            state, users, items, labels, key, self._ctx_cache
+            state, self.feat_tables, users, items, labels, key,
+            self._ctx_cache
         )
 
     def train_epoch(self, state, epoch: int):
@@ -317,7 +327,8 @@ class PMGTNCFTask:
         )
         seed = np.uint32(self.args.seed * 13 + epoch * 100_003)
         return self._train_epoch_fn(
-            state, users_all, items_all, labels_all, seed, self._ctx_cache
+            state, self.feat_tables, users_all, items_all, labels_all,
+            seed, self._ctx_cache
         )
 
     def evaluate(self, state, split: str = "valid") -> Dict[str, float]:
@@ -352,6 +363,7 @@ class PMGTNCFTask:
                 c, m = candidates[sl], cand_mask[sl]
             top_items, logits = self._rank_fn(
                 rep_params,
+                self.feat_tables,
                 put_along_data_axis(self.mesh, u),
                 put_along_data_axis(self.mesh, c),
                 put_along_data_axis(self.mesh, m),

@@ -279,16 +279,16 @@ class PMGTTask:
     # ------------------------------------------------------------------
     # jitted step implementations
     # ------------------------------------------------------------------
-    def _build_batch(self, targets, key, ctx, is_training):
+    def _build_batch(self, graph, targets, key, ctx, is_training):
         """ctx = (ctx_ids, ctx_mask, pair_cache) per-epoch cache tables,
         or None for fresh per-occurrence sampling (exact reference
         semantics)."""
         if ctx is None:
             return make_pretrain_batch(
-                self.graph, targets, key, self.sampling, is_training
+                graph, targets, key, self.sampling, is_training
             )
         return make_pretrain_batch_cached(
-            self.graph,
+            graph,
             ctx[0],
             ctx[1],
             targets,
@@ -298,22 +298,28 @@ class PMGTTask:
             pair_cache=ctx[2],
         )
 
-    def _loss_fn(self, params, targets, key, ctx):
+    def _loss_fn(self, params, graph, feat_tables, targets, key, ctx):
         k_sample, k_drop, k_corr = jax.random.split(key, 3)
-        batch = self._build_batch(targets, k_sample, ctx, True)
+        batch = self._build_batch(graph, targets, k_sample, ctx, True)
         out = self.model.apply(
             {"params": params},
-            self.feat_tables,
+            feat_tables,
             batch,
             deterministic=False,
             rngs={"dropout": k_drop, "corruption": k_corr},
         )
         return out.loss, out
 
-    def _train_step_impl(self, state: TrainState, targets, key, ctx, accum: int):
+    def _train_step_impl(self, state: TrainState, graph, feat_tables,
+                         targets, key, ctx, accum: int):
+        """graph/feat_tables enter as jit PARAMETERS, never via closure:
+        closure-captured arrays are embedded in the lowered module as
+        literal constants, which scales the compile payload with the
+        graph (HTTP 413 through the compile tunnel at 100k nodes) and
+        would defeat their sharding annotations."""
         if accum == 1:
             (loss, out), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-                state.params, targets, key, ctx
+                state.params, graph, feat_tables, targets, key, ctx
             )
             metrics = {
                 "loss": loss,
@@ -328,7 +334,7 @@ class PMGTTask:
                 t, k = xs
                 (loss, out), grads = jax.value_and_grad(
                     self._loss_fn, has_aux=True
-                )(state.params, t, k, ctx)
+                )(state.params, graph, feat_tables, t, k, ctx)
                 acc_g, acc_l, acc_gsr, acc_nfr = carry
                 return (
                     jax.tree.map(jnp.add, acc_g, grads),
@@ -349,7 +355,8 @@ class PMGTTask:
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state), metrics
 
-    def _epoch_impl(self, state, targets_all, seed, ctx, accum: int):
+    def _epoch_impl(self, state, graph, feat_tables, targets_all, seed,
+                    ctx, accum: int):
         """lax.scan over an epoch's steps: targets_all [S, B]; the
         per-step keys derive from the ``seed`` scalar IN-program — eager
         key/split ops outside jit are each their own tunneled program
@@ -358,7 +365,9 @@ class PMGTTask:
 
         def body(st, xs):
             t, k = xs
-            st, metrics = self._train_step_impl(st, t, k, ctx, accum)
+            st, metrics = self._train_step_impl(
+                st, graph, feat_tables, t, k, ctx, accum
+            )
             return st, metrics["loss"]
 
         state, losses = jax.lax.scan(body, state, (targets_all, keys))
@@ -388,14 +397,17 @@ class PMGTTask:
         # async — the host never blocks between them — so the separate
         # refresh costs dispatch time only.
         ctx = self._get_ctx(("train", epoch)) if self.use_ctx_cache else None
-        state, losses = self._train_epoch_fn(state, targets_all, seed, ctx)
+        state, losses = self._train_epoch_fn(
+            state, self.graph, self.feat_tables, targets_all, seed, ctx
+        )
         return state, losses
 
-    def _eval_step_impl(self, params, targets, sample_valid, key, ctx):
-        batch = self._build_batch(targets, key, ctx, False)
+    def _eval_step_impl(self, params, graph, feat_tables, targets,
+                        sample_valid, key, ctx):
+        batch = self._build_batch(graph, targets, key, ctx, False)
         out = self.model.apply(
             {"params": params},
-            self.feat_tables,
+            feat_tables,
             batch,
             deterministic=True,
             compute_nfr=False,
@@ -403,19 +415,19 @@ class PMGTTask:
         pair_valid = batch.pair_valid * sample_valid[:, None]
         return out.logits, batch.labels, pair_valid
 
-    def _encode_impl(self, params, targets, key, ctx):
+    def _encode_impl(self, params, graph, feat_tables, targets, key, ctx):
         """CLS embeddings for a batch of nodes (inference export)."""
         from pmgt_tpu.sampling.mcn import sample_context
 
         if ctx is None:
             node_ids, mask = sample_context(
-                self.graph, targets, key, self.sampling
+                graph, targets, key, self.sampling
             )
         else:
             node_ids, mask = ctx[0][targets], ctx[1][targets]
         hidden = self.model.apply(
             {"params": params},
-            self.feat_tables,
+            feat_tables,
             node_ids,
             mask,
             deterministic=True,
@@ -488,7 +500,9 @@ class PMGTTask:
             if self._ctx_cache is None:
                 self._get_ctx(("train", 0))
             ctx = self._ctx_cache
-        return self._train_step_fn(state, targets, key, ctx)
+        return self._train_step_fn(
+            state, self.graph, self.feat_tables, targets, key, ctx
+        )
 
     def evaluate(self, state, split: str = "valid") -> Dict[str, float]:
         params = state.params if isinstance(state, TrainState) else state
@@ -510,7 +524,7 @@ class PMGTTask:
             sv = put_along_data_axis(self.mesh, sample_valid)
             key = jax.random.key(np.uint32(self.args.seed * 31 + i + 1))
             logits, labels, pair_valid = self._eval_step_fn(
-                params, targets, sv, key, ctx
+                params, self.graph, self.feat_tables, targets, sv, key, ctx
             )
             logits_all.append(gather_to_host(logits))
             labels_all.append(gather_to_host(labels))
@@ -555,7 +569,11 @@ class PMGTTask:
             )
             targets = put_along_data_axis(self.mesh, padded)
             key = jax.random.key(np.uint32(self.args.seed * 13 + i + 7))
-            cls = gather_to_host(self._encode_fn(params, targets, key, ctx))
+            cls = gather_to_host(
+                self._encode_fn(
+                    params, self.graph, self.feat_tables, targets, key, ctx
+                )
+            )
             outs.append(cls[: len(chunk)])
         return np.concatenate(outs).astype(np.float32)
 

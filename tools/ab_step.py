@@ -74,12 +74,12 @@ def build_task(art, batch, extra_overrides):
 def build_runner(task, n):
     """One jitted scan of n full train steps, state threaded, scalar out."""
 
-    def run(state, graph, ctx, targets, key):
+    def run(state, graph, feat_tables, ctx, targets, key):
         def body(carry, i):
             state, acc = carry
             k_i = jax.random.fold_in(key, i)
             state, metrics = task._train_step_impl(
-                state, targets, k_i, ctx, accum=1
+                state, graph, feat_tables, targets, k_i, ctx, accum=1
             )
             flat, _ = flatten_util.ravel_pytree(
                 jax.tree.map(
@@ -120,26 +120,29 @@ def main():
         targets = jnp.arange(2, 2 + batch, dtype=jnp.int32)
         fn = build_runner(task, args.n)
         t0 = time.time()
-        float(fn(task.state, task.graph, ctx, targets, key))
+        float(fn(task.state, task.graph, task.feat_tables, ctx, targets,
+                 key))
         print(f"{name} {overrides or '(default)'}: compiled+warm "
               f"in {time.time()-t0:.0f}s", flush=True)
-        runners[name] = (fn, task.state, task.graph, ctx, targets)
+        runners[name] = (
+            fn, task.state, task.graph, task.feat_tables, ctx, targets
+        )
 
     samples = {n: [] for n in variants}
     r = 0
     for rep in range(args.reps):
         for name in variants:
             r += 1
-            fn, state, graph, ctx, targets = runners[name]
+            fn, state, graph, ft, ctx, targets = runners[name]
             k = jax.random.fold_in(key, 10_000 + r)
             t0 = time.perf_counter()
-            float(fn(state, graph, ctx, targets, k))
+            float(fn(state, graph, ft, ctx, targets, k))
             ms = (time.perf_counter() - t0) * 1e3 / args.n
             samples[name].append(ms)
             print(f"rep {rep} {name}: {ms:.3f} ms/step", flush=True)
     for name in variants:
         s = samples[name]
-        batch = len(runners[name][4])
+        batch = len(runners[name][5])
         print(
             f"{name}: median {np.median(s):.3f} min {min(s):.3f} "
             f"ms/step over {len(s)} samples "

@@ -137,6 +137,8 @@ timeit(
 )
 timeit(
     "full train step (no donation)",
-    lambda s, g, c, t, k: task._train_step_impl(s, t, k, c, accum=1),
-    task.state, graph, ctx, targets, key,
+    lambda s, g, ft, c, t, k: task._train_step_impl(
+        s, g, ft, t, k, c, accum=1
+    ),
+    task.state, graph, task.feat_tables, ctx, targets, key,
 )

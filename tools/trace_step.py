@@ -74,7 +74,9 @@ def run_traced(task, batch, steps, trace_dir, fwd_bwd_only=False):
             return jax.grad(loss)(state.params)
     else:
         def one(state, g, c, t, k):
-            return task._train_step_impl(state, t, k, c, accum=1)
+            return task._train_step_impl(
+                state, g, task.feat_tables, t, k, c, accum=1
+            )
 
     @jax.jit
     def scan_steps(state, g, c, t, key):
