@@ -109,6 +109,11 @@ _common_options = [
     click.option("--process-id", type=click.INT, default=None, help="multi-host: this process's index"),
     click.option("--profile-dir", type=click.Path(), default=None, help="jax.profiler trace output dir"),
     click.option("--swa-start", type=click.INT, default=None, help="enable Stochastic Weight Averaging from this epoch"),
+    click.option("--eval-interval", type=click.INT, default=1,
+                 help="evaluate/checkpoint every k epochs; in scan mode "
+                 "each k-epoch group runs as ONE device dispatch "
+                 "(amortizes the dispatch round trip; patience counts "
+                 "evaluation points)"),
 ]
 
 _COMMON_KEYS = {
@@ -140,6 +145,7 @@ _COMMON_KEYS = {
     "run_script",
     "num_devices",
     "profile_dir",
+    "eval_interval",
 }
 
 

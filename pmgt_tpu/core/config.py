@@ -157,6 +157,9 @@ class TrainArgs:
     num_devices: Optional[int] = None  # None = all visible devices
     mesh_shape: Optional[Tuple[int, ...]] = None
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    # Evaluate/checkpoint every k epochs; in scan mode each k-epoch group
+    # runs as ONE device dispatch (amortizes the dispatch round trip).
+    eval_interval: int = 1
 
     # --- workload-specific extras (populated by each CLI command) -------
     extra: Dict[str, Any] = field(default_factory=dict)

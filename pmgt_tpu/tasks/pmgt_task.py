@@ -271,6 +271,17 @@ class PMGTTask:
         self._train_epoch_fn = jax.jit(
             partial(self._epoch_impl, accum=args.accumulation_step)
         )
+        # Multi-epoch runner (engine --eval-interval k): k epochs in ONE
+        # dispatch. The epochs are UNROLLED in Python (k is small and
+        # static), NOT lax.scan-ed over stacked ctx tables: scanning would
+        # slice the stacked tables per epoch, and context gathers from
+        # anything but an unmodified jit parameter were measured 2.1x
+        # slower (they leave the TPU dynamic-gather fast path — see the
+        # refresh note in train_epoch). Retraces per distinct k (two
+        # compiles when num_epochs % k != 0).
+        self._train_epochs_fn = jax.jit(
+            partial(self._multi_epoch_impl, accum=args.accumulation_step)
+        )
         self._eval_step_fn = jax.jit(self._eval_step_impl)
         self._encode_fn = jax.jit(self._encode_impl)
         self._epoch_rng = np.random.default_rng(args.seed)
@@ -373,22 +384,44 @@ class PMGTTask:
         state, losses = jax.lax.scan(body, state, (targets_all, keys))
         return state, losses
 
+    def _multi_epoch_impl(self, state, graph, feat_tables, targets_tuple,
+                          seeds_tuple, ctx_tuple, accum: int):
+        """k epochs unrolled inside one program; each epoch's ctx tables
+        are separate unmodified jit parameters (see _train_epochs_fn)."""
+        losses_all = []
+        for targets_all, seed, ctx in zip(targets_tuple, seeds_tuple,
+                                          ctx_tuple):
+            state, losses = self._epoch_impl(
+                state, graph, feat_tables, targets_all, seed, ctx, accum
+            )
+            losses_all.append(losses)
+        return state, jnp.stack(losses_all)
 
-    def train_epoch(self, state, epoch: int):
-        """Engine fast path: run one full epoch in a single dispatch.
-        Returns (state, per-step losses as a device array)."""
+    def _epoch_inputs(self, epoch: int):
+        """Shuffled target schedule [S, B] + the epoch's scan seed.
+        Advances the per-step key counter; shared by train_epoch and
+        train_epochs so grouped and sequential runs consume identical
+        PRNG streams."""
         bs = self.args.train_batch_size
         ids = self.train_nodes.copy()
         rng = np.random.default_rng(self.args.seed * 100_003 + epoch)
         rng.shuffle(ids)
         n_full = len(ids) // bs
         if n_full == 0:
-            return state, np.zeros((0,), np.float32)
+            return None, None
         targets_all = put_along_data_axis(
             self.mesh, ids[: n_full * bs].reshape(n_full, bs), axis=1
         )
         seed = np.uint32(self.args.seed * 7_919 + self._step_count + 1)
         self._step_count += n_full
+        return targets_all, seed
+
+    def train_epoch(self, state, epoch: int):
+        """Engine fast path: run one full epoch in a single dispatch.
+        Returns (state, per-step losses as a device array)."""
+        targets_all, seed = self._epoch_inputs(epoch)
+        if targets_all is None:
+            return state, np.zeros((0,), np.float32)
         # NOTE: the cache refresh stays a SEPARATE dispatch on purpose.
         # Folding it into the epoch jit was measured 2.1x slower per step
         # (13.5 -> 28.9 ms): ctx tables produced inside the program are no
@@ -399,6 +432,34 @@ class PMGTTask:
         ctx = self._get_ctx(("train", epoch)) if self.use_ctx_cache else None
         state, losses = self._train_epoch_fn(
             state, self.graph, self.feat_tables, targets_all, seed, ctx
+        )
+        return state, losses
+
+    def train_epochs(self, state, start_epoch: int, k: int):
+        """Engine --eval-interval fast path: k consecutive epochs in ONE
+        dispatch (refreshes stay separate per-epoch dispatches, all
+        async). Returns (state, losses [k, steps_per_epoch]). Consumes
+        exactly the PRNG/shuffle/ctx streams of k sequential train_epoch
+        calls, so grouped training is bit-compatible with sequential
+        (tests assert identical losses and params).
+
+        Rationale: through a high-latency dispatch tunnel the device
+        idles one dispatch+fetch round trip per fetched program even
+        under lag-1 speculation (execution is demand-driven); grouping
+        k epochs amortizes that round trip k-fold."""
+        tgts, seeds, ctxs = [], [], []
+        for e in range(start_epoch, start_epoch + k):
+            targets_all, seed = self._epoch_inputs(e)
+            if targets_all is None:
+                return state, np.zeros((k, 0), np.float32)
+            tgts.append(targets_all)
+            seeds.append(seed)
+            ctxs.append(
+                self._get_ctx(("train", e)) if self.use_ctx_cache else None
+            )
+        state, losses = self._train_epochs_fn(
+            state, self.graph, self.feat_tables,
+            tuple(tgts), tuple(seeds), tuple(ctxs),
         )
         return state, losses
 
@@ -685,6 +746,7 @@ def train(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, floa
         run=run,
         resume=args.run_id is not None,
         swa_start=args.extra.get("swa_start"),
+        eval_interval=args.eval_interval,
     )
     return results
 

@@ -146,10 +146,21 @@ def fit(
     log_every: int = 50,
     resume: bool = False,
     swa_start: Optional[int] = None,
+    eval_interval: int = 1,
 ) -> Dict[str, float]:
     """Run the train/validate loop. Returns the final validation metrics
     plus ``best`` (the best monitored value seen); with ``swa_start`` set,
-    also ``swa/<metric>`` entries for the weight-averaged model."""
+    also ``swa/<metric>`` entries for the weight-averaged model.
+
+    ``eval_interval=k`` evaluates/checkpoints/early-stops every k epochs
+    instead of every epoch (patience then counts evaluation points, and
+    preemption is honored at group boundaries). In scan mode a task that
+    implements ``train_epochs`` runs each k-epoch group as ONE device
+    dispatch — through a high-latency dispatch tunnel this amortizes the
+    per-fetch round-trip stall k-fold. Per-epoch train losses are still
+    logged for every epoch."""
+    if eval_interval < 1:
+        raise ValueError(f"eval_interval must be >= 1, got {eval_interval}")
     monitor = f"val/{early_criterion}"
     mode = criterion_mode(early_criterion)
     swa = SWAAverager() if swa_start is not None else None
@@ -218,50 +229,103 @@ def fit(
     # early stop the speculative epoch's result is simply discarded (the
     # reference's semantics only promise the best checkpoint, which is
     # already saved).
-    spec = None  # (state_after, losses_device) for the current epoch
+    def run_group(st, first: int, size: int):
+        """Run ``size`` epochs; one fused dispatch when the task supports
+        it, else sequential epoch dispatches. Returns (state, per-epoch
+        device losses: a [size, steps] array or a list of arrays)."""
+        if size > 1 and hasattr(task, "train_epochs"):
+            return task.train_epochs(st, first, size)
+        outs = []
+        for e in range(first, first + size):
+            task.on_epoch_start(e)
+            st, losses = epoch_runner(st, e)
+            outs.append(losses)
+        return st, outs
+
+    spec = None  # (state_after, losses_device, size) for the current group
     try:
-        for epoch in range(start_epoch, num_epochs):
+        e0 = start_epoch
+        while e0 < num_epochs:
+            g = min(eval_interval, num_epochs - e0)
+            epoch = e0 + g - 1  # the group's evaluation epoch
             epoch_start = time.time()
 
             if epoch_runner is not None:
                 if spec is None:
-                    task.on_epoch_start(epoch)
-                    state_next, losses_dev = epoch_runner(state, epoch)
+                    state_next, losses_dev = run_group(state, e0, g)
                 else:
-                    state_next, losses_dev = spec
+                    state_next, losses_dev, g_spec = spec
                     spec = None
-                if epoch + 1 < num_epochs and not guard.requested:
-                    task.on_epoch_start(epoch + 1)
-                    spec = epoch_runner(state_next, epoch + 1)
+                    assert g_spec == g, "speculative group size mismatch"
+                nxt = e0 + g
+                if nxt < num_epochs and not guard.requested:
+                    gn = min(eval_interval, num_epochs - nxt)
+                    s2, l2 = run_group(state_next, nxt, gn)
+                    spec = (s2, l2, gn)
                 state = state_next
-                losses = np.asarray(jax.device_get(losses_dev), dtype=np.float64)
-                n_batches = len(losses)
-                global_step += n_batches
-                train_loss = float(losses.mean()) if n_batches else float("nan")
-                tail_loss = (
-                    float(losses[-100:].mean()) if n_batches else float("nan")
-                )
+                fetched = jax.device_get(losses_dev)
+                epoch_losses = [
+                    np.asarray(row, dtype=np.float64) for row in fetched
+                ]
+                batch_counts = [len(r) for r in epoch_losses]
             else:
-                task.on_epoch_start(epoch)
-                train_losses = []
-                n_batches = 0
-                for batch in task.train_batches(epoch):
-                    state, metrics = task.train_step(state, batch)
-                    n_batches += 1
-                    global_step += 1
-                    if "loss" in metrics:
-                        train_losses.append(metrics["loss"])
-                    if log_every and n_batches % log_every == 0:
-                        loss_val = float(jax.device_get(metrics.get("loss", np.nan)))
-                        logger.info(
-                            "epoch %d step %d loss %.5f", epoch, global_step, loss_val
+                epoch_losses = []
+                batch_counts = []
+                done = 0
+                for e in range(e0, e0 + g):
+                    task.on_epoch_start(e)
+                    train_losses = []
+                    nb = 0
+                    for batch in task.train_batches(e):
+                        state, metrics = task.train_step(state, batch)
+                        nb += 1
+                        done += 1
+                        if "loss" in metrics:
+                            train_losses.append(metrics["loss"])
+                        if log_every and nb % log_every == 0:
+                            loss_val = float(
+                                jax.device_get(metrics.get("loss", np.nan))
+                            )
+                            logger.info(
+                                "epoch %d step %d loss %.5f",
+                                e,
+                                global_step + done,
+                                loss_val,
+                            )
+                    batch_counts.append(nb)
+                    epoch_losses.append(
+                        np.asarray(
+                            [float(jax.device_get(x)) for x in train_losses],
+                            dtype=np.float64,
                         )
+                    )
 
-                fetched = [float(jax.device_get(x)) for x in train_losses]
-                train_loss = float(np.mean(fetched)) if fetched else float("nan")
-                tail_loss = (
-                    float(np.mean(fetched[-100:])) if fetched else float("nan")
-                )
+            # Per-epoch train-loss rows for the intermediate (unevaluated)
+            # epochs of the group; the evaluation epoch's row below also
+            # carries val metrics.
+            step_base = global_step
+            for j, e in enumerate(range(e0, epoch)):
+                row = epoch_losses[j]
+                step_base += batch_counts[j]
+                if registry is not None and run is not None:
+                    registry.log_metrics(
+                        run,
+                        {
+                            "loss/train": float(row.mean())
+                            if len(row)
+                            else float("nan")
+                        },
+                        step=step_base,
+                        epoch=e,
+                    )
+            global_step += sum(batch_counts)
+            last_row = epoch_losses[-1]
+            train_loss = (
+                float(last_row.mean()) if len(last_row) else float("nan")
+            )
+            tail_loss = (
+                float(last_row[-100:].mean()) if len(last_row) else float("nan")
+            )
 
             val_metrics = task.evaluate(state, "valid")
             elapsed = time.time() - epoch_start
@@ -341,6 +405,8 @@ def fit(
             if early and patience >= early:
                 logger.info("early stopping at epoch %d (patience %d)", epoch, early)
                 break
+
+            e0 += g
 
     finally:
         guard.__exit__()
