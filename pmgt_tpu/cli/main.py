@@ -205,6 +205,8 @@ def _dispatch(ctx: click.Context, train_name: str, raw_args: Dict):
 @click.option("--item-init-emb-path", type=click.Path(exists=True), default=None)
 @click.option("--freeze-item-init-emb", is_flag=True, default=False)
 @click.option("--normalize-item-init-emb", is_flag=True, default=False)
+@click.option("--topk", type=click.INT, default=100,
+              help="inference mode: items per user in the serving export")
 @click.pass_context
 def train_ncf(ctx: click.Context, **raw_args):
     """Train NCF (GMF / MLP / NeuMF-end / NeuMF-pre)."""
@@ -228,6 +230,8 @@ def train_ncf(ctx: click.Context, **raw_args):
 @click.option("--item-init-emb-path", type=click.Path(exists=True), default=None)
 @click.option("--freeze-item-init-emb", is_flag=True, default=False)
 @click.option("--normalize-item-init-emb", is_flag=True, default=False)
+@click.option("--topk", type=click.INT, default=100,
+              help="inference mode: items per user in the serving export")
 @click.pass_context
 def train_dcn(ctx: click.Context, **raw_args):
     """Train DCN."""

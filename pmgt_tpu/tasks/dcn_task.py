@@ -208,4 +208,29 @@ def test(
 
 
 def inference(args: TrainArgs, ctx: Dict[str, Any], registry, run):
-    raise NotImplementedError("DCN has no inference mode (reference parity)")
+    """Serving export: full-catalog top-K (user, item) CTR ranking from
+    the best checkpoint, written as an npz of user_ids/item_ids/scores.
+    Beyond the reference — its driver wires inference for PMGT only
+    (train.py:322-324)."""
+    task: DCNTask = ctx["task"]
+    path = locate_eval_ckpt(registry, run, args.run_id)
+    if path is not None:
+        payload = restore_checkpoint(path)
+        task.state = TrainState(
+            jax.tree.map(jnp.asarray, payload["state"]["params"]),
+            task.state.opt_state,
+        )
+    out = task.export_topk(
+        task.state.params,
+        k=int(args.extra.get("topk", 100)),
+        exclude_train=not args.extra.get("include_seen_items", False),
+    )
+    if args.inference_result_path:
+        np.savez(args.inference_result_path, **out)
+        logger.info(
+            "wrote top-%d recommendations for %d users to %s",
+            out["item_ids"].shape[1],
+            len(out["user_ids"]),
+            args.inference_result_path,
+        )
+    return out
