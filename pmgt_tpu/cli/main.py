@@ -412,6 +412,75 @@ def train_model(
         raise
 
 
+@cli.command(context_settings={"show_default": True})
+@click.option("--log-dir", type=click.Path(), default="./logs")
+@click.option("--experiment-name", type=click.STRING, default=None,
+              help="restrict to one experiment")
+@click.option("--run-id", type=click.STRING, default=None,
+              help="show one run in detail (params, tags, latest metrics)")
+def runs(log_dir: str, experiment_name: Optional[str], run_id: Optional[str]):
+    """Browse the run registry — the reference's MLflow-UI workflow
+    (base_trainer.py:93-110) at the CLI."""
+    import json
+    import os
+
+    registry = RunRegistry(log_dir)
+    if run_id:
+        run = registry.get_run(run_id)
+        click.echo(
+            f"run {run.run_id}  experiment={run.experiment_name}  "
+            f"status={run.status}"
+        )
+        tags_path = os.path.join(run.run_dir, "tags.json")
+        if os.path.exists(tags_path):
+            with open(tags_path, encoding="utf-8") as f:
+                tags = json.load(f)
+            click.echo(
+                "tags: " + "  ".join(f"{k}={v}" for k, v in tags.items())
+            )
+        click.echo("params:")
+        for k, v in sorted(run.params.items()):
+            click.echo(f"  {k} = {v}")
+        latest = {}
+        for m in run.metrics():
+            latest[m["name"]] = m
+        if latest:
+            click.echo("latest metrics:")
+            for name in sorted(latest):
+                m = latest[name]
+                click.echo(
+                    f"  {name} = {m['value']:.6g}"
+                    f"  (epoch {m['epoch']}, step {m['step']})"
+                )
+        from pmgt_tpu.train.checkpoints import read_best_info
+
+        best = read_best_info(run.ckpt_dir)
+        if best:
+            click.echo(
+                f"best: {best.get('monitor')} = {best.get('value'):.6g}"
+                f" at epoch {best.get('epoch')}"
+            )
+        return
+
+    header = f"{'RUN_ID':34} {'EXPERIMENT':16} {'STATUS':12} {'MODEL':12} {'DATASET':10} BEST"
+    click.echo(header)
+    for run in registry.list_runs(experiment_name):
+        params = run.params
+        from pmgt_tpu.train.checkpoints import read_best_info
+
+        best = read_best_info(run.ckpt_dir)
+        best_str = (
+            f"{best.get('monitor')}={best.get('value'):.5g}@{best.get('epoch')}"
+            if best
+            else "-"
+        )
+        click.echo(
+            f"{run.run_id:34} {run.experiment_name:16} {run.status:12} "
+            f"{str(params.get('model_name', '-')):12} "
+            f"{str(params.get('dataset_name', '-')):10} {best_str}"
+        )
+
+
 def main():
     cli(obj={})
 

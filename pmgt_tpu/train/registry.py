@@ -164,6 +164,40 @@ class RunRegistry:
                     return RunInfo(run_id, exp, run_dir)
         raise FileNotFoundError(f"run {run_id} not found under {self.log_dir}")
 
+    def list_runs(self, experiment_name: Optional[str] = None) -> List[RunInfo]:
+        """All runs in the registry (optionally one experiment), newest
+        first by created_at tag — the store-browsing counterpart of the
+        reference's MLflow UI workflow (base_trainer.py:93-110)."""
+        runs: List[RunInfo] = []
+        if not os.path.isdir(self.log_dir):
+            return runs
+        exps = (
+            [experiment_name]
+            if experiment_name is not None
+            else sorted(os.listdir(self.log_dir))
+        )
+        for exp in exps:
+            exp_dir = os.path.join(self.log_dir, exp)
+            if not os.path.isdir(exp_dir):
+                continue
+            for rid in sorted(os.listdir(exp_dir)):
+                run_dir = os.path.join(exp_dir, rid)
+                # a run directory is one the registry created: it has
+                # params.json (skip stray files/dirs)
+                if os.path.isfile(os.path.join(run_dir, "params.json")):
+                    runs.append(RunInfo(rid, exp, run_dir))
+
+        def created(r: RunInfo) -> str:
+            try:
+                with open(
+                    os.path.join(r.run_dir, "tags.json"), encoding="utf-8"
+                ) as f:
+                    return json.load(f).get("created_at") or ""
+            except (OSError, ValueError):
+                return ""
+
+        return sorted(runs, key=created, reverse=True)
+
     def set_status(self, run: RunInfo, status: str) -> None:
         if not _is_primary():
             return

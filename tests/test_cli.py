@@ -153,3 +153,40 @@ def test_hp_tuning_random_search(dataset_dir, tmp_path):
     for t in complete:
         assert "lr" in t["params"] and "factor_num" in t["params"]
         assert t["value"] is not None
+
+
+def test_runs_command_lists_and_details(tmp_path):
+    """`runs` browses the registry: table of runs + per-run detail."""
+    from pmgt_tpu.train.registry import RunRegistry
+
+    registry = RunRegistry(str(tmp_path / "logs"))
+    run = registry.create_run(
+        "expA", {"model_name": "GMF", "dataset_name": "VG", "lr": 1e-3}
+    )
+    registry.log_metrics(run, {"val/loss": 0.5, "loss/train": 0.9}, step=10, epoch=0)
+    registry.set_status(run, "FINISHED")
+    run2 = registry.create_run("expB", {"model_name": "DCN", "dataset_name": "TG"})
+
+    runner = CliRunner()
+    result = runner.invoke(
+        _cli(), ["runs", "--log-dir", str(tmp_path / "logs")], obj={}
+    )
+    assert result.exit_code == 0, result.output
+    assert run.run_id in result.output and run2.run_id in result.output
+    assert "FINISHED" in result.output and "RUNNING" in result.output
+
+    result = runner.invoke(
+        _cli(),
+        ["runs", "--log-dir", str(tmp_path / "logs"), "--experiment-name", "expA"],
+        obj={},
+    )
+    assert run.run_id in result.output and run2.run_id not in result.output
+
+    result = runner.invoke(
+        _cli(),
+        ["runs", "--log-dir", str(tmp_path / "logs"), "--run-id", run.run_id],
+        obj={},
+    )
+    assert result.exit_code == 0, result.output
+    assert "model_name = GMF" in result.output
+    assert "val/loss = 0.5" in result.output
