@@ -38,7 +38,148 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-class InteractionTaskBase:
+class ServingTopKMixin:
+    """Full-catalog top-K recommendation export, shared by every
+    (user, item)-scoring workload. Requires ``self.mesh``,
+    ``self.train_data`` and a ``_serving_logits`` scorer (the default
+    scores ``self.model`` directly; PMGT_NCF overrides it to run items
+    through its encoder tower, passing its tables/ctx via ``extras`` so
+    they stay jit parameters rather than embedded constants)."""
+
+    def _serving_logits(self, params, users2d, items2d, extras):
+        return self.model.apply(
+            {"params": params}, users2d, items2d, deterministic=True
+        )
+
+    def _topk_chunk_impl(self, params, users, pos_rows, chunk_start, extras,
+                         *, chunk_size: int, k: int, exclude: bool):
+        """Local top-k of a [B] user batch against the item chunk
+        [chunk_start, chunk_start + chunk_size): absolute item ids +
+        scores. ``pos_rows`` [B, P] are the users' training positives
+        (padded with num_items); with ``exclude`` they sink to -1e30 so
+        served lists contain unseen items only. Items past the catalog
+        end (fixed chunk shape) are masked to -inf."""
+        num_items = int(self.train_data.num_items)
+        items = chunk_start + jnp.arange(chunk_size, dtype=jnp.int32)
+        b = users.shape[0]
+        u = jnp.broadcast_to(users[:, None], (b, chunk_size))
+        it = jnp.broadcast_to(items[None, :], (b, chunk_size))
+        logits = self._serving_logits(
+            params,
+            jnp.minimum(u, jnp.int32(max(self.train_data.num_users - 1, 0))),
+            jnp.minimum(it, jnp.int32(num_items - 1)),
+            extras,
+        ).astype(jnp.float32)
+        if exclude:
+            rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+            idx = pos_rows - chunk_start
+            # Positives outside this chunk (and the num_items padding)
+            # must NOT scatter: negative indices WRAP NumPy-style in
+            # .at[], so remap them to chunk_size, which is positive
+            # out-of-bounds and dropped by mode="drop".
+            idx = jnp.where(
+                (idx >= 0) & (idx < chunk_size), idx, jnp.int32(chunk_size)
+            )
+            logits = logits.at[rows, idx].add(
+                jnp.float32(-1e30), mode="drop"
+            )
+        logits = jnp.where(items[None, :] < num_items, logits, -jnp.inf)
+        scores, top_idx = jax.lax.top_k(logits, min(k, chunk_size))
+        return jnp.take_along_axis(it, top_idx, axis=1), scores
+
+    def export_topk(
+        self,
+        params,
+        k: int = 100,
+        user_batch: int = 256,
+        item_chunk: int = 8192,
+        exclude_train: bool = True,
+        extras=None,
+    ) -> dict:
+        """Batched full-catalog serving export: for every user id in
+        [0, num_users), the ``k`` highest-scoring items, training
+        positives excluded by default. Beyond the reference — its NCF/DCN
+        wire no inference mode (train.py:322-324 only dispatches PMGT's)
+        — but the natural production surface of a recommender: one
+        MXU-batched scoring sweep per user batch, catalog chunked on
+        device, per-chunk top-k merged on host. Returns
+        {"user_ids": [U], "item_ids": [U, k], "scores": [U, k]}."""
+        data = self.train_data
+        num_items = int(data.num_items)
+        num_users = int(data.num_users)
+        k = min(k, num_items)
+        # per-chunk top-k only stays lossless when a chunk can hold the
+        # whole global top-k
+        item_chunk = min(max(item_chunk, k), num_items)
+
+        # Per-user positive rows; users absent from train (cold users)
+        # get an all-padding row and full-catalog candidates.
+        maxp = data.user_pos.shape[1]
+        all_users = np.arange(num_users, dtype=np.int32)
+        row_of = np.searchsorted(data.unique_users, all_users)
+        safe = np.clip(row_of, 0, max(len(data.unique_users) - 1, 0))
+        has = (
+            (row_of < len(data.unique_users))
+            & (len(data.unique_users) > 0)
+        )
+        if len(data.unique_users):
+            has &= data.unique_users[safe] == all_users
+        pos_all = np.full((num_users, max(maxp, 1)), num_items, np.int32)
+        if maxp and has.any():
+            pos_all[has, :maxp] = data.user_pos[safe[has]]
+
+        if not hasattr(self, "_topk_chunk_fn"):
+            self._topk_chunk_fn = jax.jit(
+                self._topk_chunk_impl,
+                static_argnames=("chunk_size", "k", "exclude"),
+            )
+        params_dev = replicate_host(self.mesh, params)
+        target = pad_to_multiple(min(user_batch, num_users), self.mesh.size)
+        n_chunks = -(-num_items // item_chunk)
+        ids_out, sc_out = [], []
+        for i in range(0, num_users, target):
+            u = all_users[i : i + target]
+            n = len(u)
+            pad = target - n
+            if pad:
+                u = np.concatenate([u, np.zeros(pad, np.int32)])
+                pos = np.concatenate(
+                    [
+                        pos_all[i : i + n],
+                        np.full((pad, pos_all.shape[1]), num_items, np.int32),
+                    ]
+                )
+            else:
+                pos = pos_all[i : i + target]
+            u_dev = put_along_data_axis(self.mesh, u)
+            pos_dev = put_along_data_axis(self.mesh, pos)
+            chunk_ids, chunk_sc = [], []
+            for c in range(n_chunks):
+                ids, sc = self._topk_chunk_fn(
+                    params_dev,
+                    u_dev,
+                    pos_dev,
+                    np.int32(c * item_chunk),
+                    extras,
+                    chunk_size=item_chunk,
+                    k=k,
+                    exclude=exclude_train,
+                )
+                chunk_ids.append(gather_to_host(ids)[:n])
+                chunk_sc.append(gather_to_host(sc)[:n])
+            allid = np.concatenate(chunk_ids, axis=1)
+            allsc = np.concatenate(chunk_sc, axis=1)
+            order = np.argsort(-allsc, axis=1, kind="stable")[:, :k]
+            ids_out.append(np.take_along_axis(allid, order, axis=1))
+            sc_out.append(np.take_along_axis(allsc, order, axis=1))
+        return {
+            "user_ids": all_users,
+            "item_ids": np.concatenate(ids_out).astype(np.int32),
+            "scores": np.concatenate(sc_out).astype(np.float32),
+        }
+
+
+class InteractionTaskBase(ServingTopKMixin):
     """Subclasses set ``self.model`` (a flax module scoring (user, item) →
     logit) and implement ``evaluate``."""
 
@@ -196,134 +337,6 @@ class InteractionTaskBase:
     def _score_impl(self, params, users, items):
         """Deterministic scoring (eval): logits for (user, item)."""
         return self.model.apply({"params": params}, users, items, deterministic=True)
-
-    # ------------------------------------------------------------------
-    # Serving export: full-catalog top-K recommendation
-    # ------------------------------------------------------------------
-    def _topk_chunk_impl(self, params, users, pos_rows, chunk_start, *,
-                         chunk_size: int, k: int, exclude: bool):
-        """Local top-k of a [B] user batch against the item chunk
-        [chunk_start, chunk_start + chunk_size): absolute item ids +
-        scores. ``pos_rows`` [B, P] are the users' training positives
-        (padded with num_items); with ``exclude`` they sink to -1e30 so
-        served lists contain unseen items only. Items past the catalog
-        end (fixed chunk shape) are masked to -inf."""
-        num_items = int(self.train_data.num_items)
-        items = chunk_start + jnp.arange(chunk_size, dtype=jnp.int32)
-        b = users.shape[0]
-        u = jnp.broadcast_to(users[:, None], (b, chunk_size))
-        it = jnp.broadcast_to(items[None, :], (b, chunk_size))
-        logits = self.model.apply(
-            {"params": params},
-            jnp.minimum(u, jnp.int32(max(self.train_data.num_users - 1, 0))),
-            jnp.minimum(it, jnp.int32(num_items - 1)),
-            deterministic=True,
-        ).astype(jnp.float32)
-        if exclude:
-            rows = jnp.arange(b, dtype=jnp.int32)[:, None]
-            idx = pos_rows - chunk_start
-            # Positives outside this chunk (and the num_items padding)
-            # must NOT scatter: negative indices WRAP NumPy-style in
-            # .at[], so remap them to chunk_size, which is positive
-            # out-of-bounds and dropped by mode="drop".
-            idx = jnp.where(
-                (idx >= 0) & (idx < chunk_size), idx, jnp.int32(chunk_size)
-            )
-            logits = logits.at[rows, idx].add(
-                jnp.float32(-1e30), mode="drop"
-            )
-        logits = jnp.where(items[None, :] < num_items, logits, -jnp.inf)
-        scores, top_idx = jax.lax.top_k(logits, min(k, chunk_size))
-        return jnp.take_along_axis(it, top_idx, axis=1), scores
-
-    def export_topk(
-        self,
-        params,
-        k: int = 100,
-        user_batch: int = 256,
-        item_chunk: int = 8192,
-        exclude_train: bool = True,
-    ) -> dict:
-        """Batched full-catalog serving export: for every user id in
-        [0, num_users), the ``k`` highest-scoring items, training
-        positives excluded by default. Beyond the reference — its NCF/DCN
-        wire no inference mode (train.py:322-324 only dispatches PMGT's)
-        — but the natural production surface of a recommender: one
-        MXU-batched scoring sweep per user batch, catalog chunked on
-        device, per-chunk top-k merged on host. Returns
-        {"user_ids": [U], "item_ids": [U, k], "scores": [U, k]}."""
-        data = self.train_data
-        num_items = int(data.num_items)
-        num_users = int(data.num_users)
-        k = min(k, num_items)
-        # per-chunk top-k only stays lossless when a chunk can hold the
-        # whole global top-k
-        item_chunk = min(max(item_chunk, k), num_items)
-
-        # Per-user positive rows; users absent from train (cold users)
-        # get an all-padding row and full-catalog candidates.
-        maxp = data.user_pos.shape[1]
-        all_users = np.arange(num_users, dtype=np.int32)
-        row_of = np.searchsorted(data.unique_users, all_users)
-        safe = np.clip(row_of, 0, max(len(data.unique_users) - 1, 0))
-        has = (
-            (row_of < len(data.unique_users))
-            & (len(data.unique_users) > 0)
-        )
-        if len(data.unique_users):
-            has &= data.unique_users[safe] == all_users
-        pos_all = np.full((num_users, max(maxp, 1)), num_items, np.int32)
-        if maxp and has.any():
-            pos_all[has, :maxp] = data.user_pos[safe[has]]
-
-        if not hasattr(self, "_topk_chunk_fn"):
-            self._topk_chunk_fn = jax.jit(
-                self._topk_chunk_impl,
-                static_argnames=("chunk_size", "k", "exclude"),
-            )
-        params_dev = replicate_host(self.mesh, params)
-        target = pad_to_multiple(min(user_batch, num_users), self.mesh.size)
-        n_chunks = -(-num_items // item_chunk)
-        ids_out, sc_out = [], []
-        for i in range(0, num_users, target):
-            u = all_users[i : i + target]
-            n = len(u)
-            pad = target - n
-            if pad:
-                u = np.concatenate([u, np.zeros(pad, np.int32)])
-                pos = np.concatenate(
-                    [
-                        pos_all[i : i + n],
-                        np.full((pad, pos_all.shape[1]), num_items, np.int32),
-                    ]
-                )
-            else:
-                pos = pos_all[i : i + target]
-            u_dev = put_along_data_axis(self.mesh, u)
-            pos_dev = put_along_data_axis(self.mesh, pos)
-            chunk_ids, chunk_sc = [], []
-            for c in range(n_chunks):
-                ids, sc = self._topk_chunk_fn(
-                    params_dev,
-                    u_dev,
-                    pos_dev,
-                    np.int32(c * item_chunk),
-                    chunk_size=item_chunk,
-                    k=k,
-                    exclude=exclude_train,
-                )
-                chunk_ids.append(gather_to_host(ids)[:n])
-                chunk_sc.append(gather_to_host(sc)[:n])
-            allid = np.concatenate(chunk_ids, axis=1)
-            allsc = np.concatenate(chunk_sc, axis=1)
-            order = np.argsort(-allsc, axis=1, kind="stable")[:, :k]
-            ids_out.append(np.take_along_axis(allid, order, axis=1))
-            sc_out.append(np.take_along_axis(allsc, order, axis=1))
-        return {
-            "user_ids": all_users,
-            "item_ids": np.concatenate(ids_out).astype(np.int32),
-            "scores": np.concatenate(sc_out).astype(np.float32),
-        }
 
     # ------------------------------------------------------------------
     # engine Task protocol

@@ -44,7 +44,7 @@ from pmgt_tpu.metrics.ranking import get_ndcg, get_recall
 from pmgt_tpu.models.pmgt import bce_with_logits
 from pmgt_tpu.models.pmgt_ncf import PMGT_NCF
 from pmgt_tpu.sampling.pairs import sample_all_contexts
-from pmgt_tpu.tasks.interaction_base import TrainState
+from pmgt_tpu.tasks.interaction_base import ServingTopKMixin, TrainState
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
 from pmgt_tpu.train.registry import locate_eval_ckpt
@@ -91,7 +91,7 @@ def _item_to_node_map(artifacts) -> np.ndarray:
     )
 
 
-class PMGTNCFTask:
+class PMGTNCFTask(ServingTopKMixin):
     def __init__(
         self, args, artifacts, train_data, valid_data, test_data, trial=None
     ):
@@ -219,6 +219,26 @@ class PMGTNCFTask:
     def _item_seqs(self, items, ctx):
         nodes = self.item_to_node[items]
         return ctx[0][nodes], ctx[1][nodes]
+
+    def _serving_logits(self, params, users2d, items2d, extras):
+        """ServingTopKMixin scorer: items go through the PMGT encoder
+        tower over their cached context sequences. feat_tables/ctx enter
+        via ``extras`` so they stay jit parameters (embedded constants
+        would scale the compile payload with the graph and defeat
+        sharding annotations)."""
+        feat_tables, ctx = extras
+        shape = users2d.shape
+        items = items2d.reshape(-1)
+        seqs, mask = self._item_seqs(items, ctx)
+        return self.model.apply(
+            {"params": params},
+            feat_tables,
+            users2d.reshape(-1),
+            seqs,
+            mask,
+            item=items,
+            deterministic=True,
+        ).reshape(shape)
 
     def _train_step_impl(self, state, feat_tables, users, items, labels,
                          key, ctx):
@@ -470,4 +490,36 @@ def test(
 
 
 def inference(args: TrainArgs, ctx: Dict[str, Any], registry, run):
-    raise NotImplementedError("PMGT_NCF has no inference mode")
+    """Serving export: full-catalog top-K recommendations per user, items
+    scored through the PMGT encoder tower over their cached contexts.
+    Beyond the reference — PMGT_NCF is not even wired to a trainer there
+    (no pmgt_ncf/trainer.py; train.py:306)."""
+    task: PMGTNCFTask = ctx["task"]
+    path = locate_eval_ckpt(registry, run, args.run_id)
+    if path is not None:
+        payload = restore_checkpoint(path)
+        task.state = TrainState(
+            jax.tree.map(jnp.asarray, payload["state"]["params"]),
+            task.state.opt_state,
+        )
+    if task._ctx_cache is None:
+        task.on_epoch_start(0)
+    out = task.export_topk(
+        task.state.params,
+        k=int(args.extra.get("topk", TOPK)),
+        # encoder forwards per (user, item): smaller serving tiles than
+        # the embedding-dot models
+        user_batch=int(args.extra.get("serve_user_batch", 64)),
+        item_chunk=int(args.extra.get("serve_item_chunk", 1024)),
+        exclude_train=not args.extra.get("include_seen_items", False),
+        extras=(task.feat_tables, task._ctx_cache),
+    )
+    if args.inference_result_path:
+        np.savez(args.inference_result_path, **out)
+        logger.info(
+            "wrote top-%d recommendations for %d users to %s",
+            out["item_ids"].shape[1],
+            len(out["user_ids"]),
+            args.inference_result_path,
+        )
+    return out

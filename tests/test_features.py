@@ -261,3 +261,24 @@ def test_pmgt_ncf_task_end_to_end(tmp_path):
     assert "val/n20" in res
     tst = pmgt_ncf_task.test(args, ctx, reg, run)
     assert "test/n20" in tst and "test/r10" in tst
+
+    # serving export through the encoder item tower (items scored over
+    # their cached context sequences), chunked catalog
+    args.inference_result_path = str(tmp_path / "recs.npz")
+    args.extra["topk"] = 7
+    args.extra["serve_item_chunk"] = 11
+    out = pmgt_ncf_task.inference(args, ctx, reg, run)
+    task = ctx["task"]
+    ni = task.train_data.num_items
+    nu = task.train_data.num_users
+    assert out["item_ids"].shape == (nu, 7)
+    assert (np.diff(out["scores"], axis=1) <= 1e-6).all()
+    assert out["item_ids"].min() >= 0 and out["item_ids"].max() < ni
+    # training positives excluded
+    td = task.train_data
+    for r, u in enumerate(td.unique_users):
+        seen = set(td.user_pos[r, : td.user_pos_count[r]].tolist())
+        assert not seen & set(out["item_ids"][u].tolist())
+    import os
+
+    assert os.path.exists(args.inference_result_path)
