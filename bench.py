@@ -100,12 +100,20 @@ def measure_tpu(
         refresh_seconds is the host-side dispatch time of the cache
         refresh (both it and the epoch scan are async; blocking between
         them would charge the refresh a full device round trip the real
-        pipeline never pays)."""
+        pipeline never pays).
+
+        The epoch is forced with a real d2h fetch of the losses, NOT
+        ``block_until_ready``: the axon tunnel's execution is
+        demand-driven and block_until_ready can return without running
+        the program (observed: 5 "blocked" epochs at 0.27 ms/step whose
+        work all landed in the next phase's fetches). Fetching an output
+        forces the whole program — state and losses come from one jit."""
         t0 = time.time()
         task.on_epoch_start(epoch)
         t1 = time.time()
         state, losses = task.train_epoch(task.state, epoch)
-        jax.block_until_ready(losses)
+        loss_sum = float(np.asarray(jax.device_get(losses)).sum())
+        assert np.isfinite(loss_sum)
         t2 = time.time()
         task.state = state
         return len(losses), {"loss": losses[-1]}, t1 - t0, t2 - t1

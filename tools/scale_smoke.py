@@ -66,7 +66,10 @@ def main():
         task.on_epoch_start(epoch)
         t1 = time.time()
         state, losses = task.train_epoch(task.state, epoch)
-        jax.block_until_ready(losses)
+        # Real d2h fetch: the tunnel's block_until_ready can return
+        # without executing (demand-driven dispatch); fetching an output
+        # forces the whole program.
+        losses = np.asarray(jax.device_get(losses))
         t2 = time.time()
         task.state = state
         return len(losses), float(losses[-1]), t1 - t0, t2 - t1
