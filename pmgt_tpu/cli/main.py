@@ -482,6 +482,11 @@ def runs(log_dir: str, experiment_name: Optional[str], run_id: Optional[str]):
 
 
 def main():
+    # Late imports: registering the hp-tuning and data commands on the
+    # group happens on module import (mirroring the repo-root main.py);
+    # deferred here so `import pmgt_tpu.cli.main` alone stays cycle-free.
+    from pmgt_tpu.cli import data_cmds, hpo  # noqa: F401
+
     cli(obj={})
 
 
