@@ -19,6 +19,10 @@ logger = logging.getLogger("pmgt_tpu")
 @click.option("--avg-degree", type=click.INT, default=16)
 @click.option("--interactions-per-user", type=click.INT, default=12)
 @click.option("--seed", type=click.INT, default=0)
+@click.option("--shape", type=click.Choice(["VG", "TG"]), default=None,
+              help="generate at the EXACT published scale/sparsity of the "
+              "VG or TG dataset (power-law degrees and user activity); "
+              "overrides the count options")
 def make_synthetic(
     out_dir,
     num_nodes,
@@ -28,19 +32,28 @@ def make_synthetic(
     avg_degree,
     interactions_per_user,
     seed,
+    shape,
 ):
     """Generate a synthetic dataset in the native artifact format."""
     from pmgt_tpu.data.artifacts import save_native
-    from pmgt_tpu.data.synthetic import make_synthetic_dataset
-
-    art = make_synthetic_dataset(
-        num_nodes=num_nodes,
-        num_users=num_users,
-        feat_dims=(visual_dim, textual_dim),
-        avg_degree=avg_degree,
-        interactions_per_user=interactions_per_user,
-        seed=seed,
+    from pmgt_tpu.data.synthetic import (
+        make_published_shape_dataset,
+        make_synthetic_dataset,
     )
+
+    if shape:
+        art = make_published_shape_dataset(
+            shape, feat_dims=(visual_dim, textual_dim), seed=seed
+        )
+    else:
+        art = make_synthetic_dataset(
+            num_nodes=num_nodes,
+            num_users=num_users,
+            feat_dims=(visual_dim, textual_dim),
+            avg_degree=avg_degree,
+            interactions_per_user=interactions_per_user,
+            seed=seed,
+        )
     save_native(out_dir, art)
     logger.info(
         "wrote synthetic dataset to %s (%d nodes, %d users, %d train pairs)",

@@ -25,6 +25,22 @@ import numpy as np
 from pmgt_tpu.data.artifacts import DatasetArtifacts
 from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, from_edges
 
+# Exact node/user/edge/interaction counts of the two published datasets
+# (reference README.md:129-167; SURVEY §6). `make_published_shape_dataset`
+# generates synthetic data at these shapes with power-law degree and
+# activity distributions — the closest fidelity proxy available without
+# network access to the real Amazon dumps.
+PUBLISHED_SHAPES = {
+    "VG": dict(
+        num_nodes=7252, num_users=27988,
+        num_edges=88606, num_interactions=98278,
+    ),
+    "TG": dict(
+        num_nodes=10834, num_users=134697,
+        num_edges=38252, num_interactions=378138,
+    ),
+}
+
 
 def _fast_edges(num_nodes, target_edges, cluster, members, rng):
     """Vectorized equivalent of the per-edge loop: intra-cluster ring
@@ -180,6 +196,213 @@ def make_synthetic_dataset(
         feat_init_embs=feat_tables,
         train_pairs=np.asarray(train_list, np.int32).reshape(-1, 2),
         test_pairs=np.asarray(test_list, np.int32).reshape(-1, 2),
+        num_users=num_users,
+        num_items=num_nodes,
+    )
+
+
+# --------------------------------------------------------------------------
+# Published-shape generation: power-law degrees/popularity/activity at the
+# exact counts of the real VG/TG datasets.
+# --------------------------------------------------------------------------
+
+
+def _popularity(num_nodes, rng, gamma: float = 2.1, offset: float = 10.0):
+    """Zipf-like popularity weights (power-law tail with exponent
+    ``gamma``), randomly permuted so popularity is independent of
+    cluster assignment. Popularity drives BOTH graph degree and
+    interaction frequency — in real co-review data the two are coupled
+    by construction (edges come from co-reviews)."""
+    ranks = rng.permutation(num_nodes).astype(np.float64)
+    w = (ranks + offset) ** (-1.0 / (gamma - 1.0))
+    return w / w.sum()
+
+
+def _cluster_samplers(members, pop):
+    """Per-cluster cumulative popularity tables for vectorized
+    popularity-weighted draws within a cluster."""
+    c = len(members)
+    max_size = max(len(m) for m in members)
+    mem_mat = np.zeros((c, max_size), np.int64)
+    cum = np.ones((c, max_size), np.float64)  # pad with 1.0 (never chosen)
+    for k, m in enumerate(members):
+        mem_mat[k, : len(m)] = m
+        p = pop[m]
+        cum[k, : len(m)] = np.cumsum(p) / p.sum()
+    return mem_mat, cum
+
+
+def _draw_in_cluster(cids, mem_mat, cum, rng):
+    """For each cluster id in ``cids`` draw one member ∝ popularity."""
+    u = rng.random(len(cids))[:, None]
+    slot = np.argmax(cum[cids] >= u, axis=1)
+    return mem_mat[cids, slot]
+
+
+def _co_review_weights(n, rng):
+    """Heavy-tailed co-review counts → log weights, the notebook's
+    log-normalized edge-weight shape (cell 20): most pairs co-reviewed
+    once, a long tail of frequently co-bought pairs."""
+    counts = 1.0 + np.floor(rng.pareto(1.5, size=n))
+    return 1.0 + np.log(np.minimum(counts, 50.0))
+
+
+def _powerlaw_edges(num_nodes, num_edges, cluster, members, pop, rng):
+    """Chung–Lu-style edge sampling with cluster bias: endpoints drawn ∝
+    popularity, 85% of partners from the source's cluster. A one-edge
+    backbone per node (popularity-weighted same-cluster partner) keeps
+    min degree ≥ 1, as in real co-review graphs."""
+    mem_mat, cum = _cluster_samplers(members, pop)
+    gcum = np.cumsum(pop)
+    gcum /= gcum[-1]
+
+    srcs = np.arange(num_nodes)
+    multi = np.asarray([len(members[cluster[u]]) > 1 for u in srcs])
+    backbone_v = np.where(
+        multi, _draw_in_cluster(cluster[srcs], mem_mat, cum, rng),
+        (srcs + 1) % num_nodes,
+    )
+    # A node that drew itself would lose its backbone edge to self-loop
+    # removal and could end up isolated (real co-review graphs have min
+    # degree 1): pair it with the next member of its cluster instead.
+    self_draw = backbone_v == srcs
+    if self_draw.any():
+        sizes = np.asarray([len(m) for m in members])
+        pos_in_cluster = np.empty(num_nodes, np.int64)
+        for m in members:
+            pos_in_cluster[m] = np.arange(len(m))
+        nxt = (pos_in_cluster + 1) % np.maximum(sizes[cluster], 1)
+        backbone_v = np.where(
+            self_draw & multi, mem_mat[cluster[srcs], nxt], backbone_v
+        )
+    edge_u, edge_v = [srcs], [backbone_v]
+
+    for _ in range(12):
+        uu = np.concatenate(edge_u)
+        vv = np.concatenate(edge_v)
+        key = np.minimum(uu, vv) * np.int64(num_nodes) + np.maximum(uu, vv)
+        keep = uu != vv
+        _, first = np.unique(key[keep], return_index=True)
+        first.sort()
+        edge_u, edge_v = [uu[keep][first]], [vv[keep][first]]
+        short = num_edges - len(first)
+        if short <= 0:
+            break
+        draw = max(int(short * 1.6), 1024)
+        u = np.searchsorted(gcum, rng.random(draw))
+        intra = rng.random(draw) < 0.85
+        v = np.where(
+            intra,
+            _draw_in_cluster(cluster[u], mem_mat, cum, rng),
+            np.searchsorted(gcum, rng.random(draw)),
+        )
+        edge_u.append(u)
+        edge_v.append(v)
+    uu, vv = edge_u[0][:num_edges], edge_v[0][:num_edges]
+    ww = _co_review_weights(len(uu), rng)
+    return [(int(a), int(b), float(w)) for a, b, w in zip(uu, vv, ww)]
+
+
+def _powerlaw_interactions(
+    num_users, num_items, total, cluster, members, pop, rng,
+    alpha: float = 2.3,
+):
+    """(user, item) pairs: per-user activity is discrete-Pareto
+    distributed (mean repaired to ``total/num_users``), each user
+    prefers one cluster (80% of draws) and picks items ∝ popularity.
+    Unique per (user, item); trimmed to exactly ``total``."""
+    mem_mat, cum = _cluster_samplers(members, pop)
+    gcum = np.cumsum(pop)
+    gcum /= gcum[-1]
+    pref = rng.integers(0, len(members), size=num_users)
+
+    sizes = np.floor(
+        (1.0 - rng.random(num_users)) ** (-1.0 / (alpha - 1.0))
+    ).astype(np.int64)
+    sizes = np.minimum(sizes, 10 * max(total // num_users, 1))
+
+    pairs = np.empty((0, 2), np.int64)
+    for _ in range(12):
+        short = total - len(pairs)
+        if short <= 0:
+            break
+        # Scale activity so this round's draw covers the deficit.
+        scale = max(float(short) * 1.3 / max(sizes.sum(), 1), 1e-9)
+        counts = rng.poisson(sizes * scale)
+        users = np.repeat(np.arange(num_users), counts)
+        n = len(users)
+        if n == 0:
+            continue
+        intra = rng.random(n) < 0.8
+        items = np.where(
+            intra,
+            _draw_in_cluster(pref[users], mem_mat, cum, rng),
+            np.searchsorted(gcum, rng.random(n)),
+        )
+        new = np.stack([users, items], axis=1)
+        pairs = np.concatenate([pairs, new])
+        key = pairs[:, 0] * np.int64(num_items) + pairs[:, 1]
+        _, first = np.unique(key, return_index=True)
+        first.sort()
+        pairs = pairs[first]
+    return pairs[:total]
+
+
+def make_published_shape_dataset(
+    shape: str,
+    feat_dims: Sequence[int] = (1536, 768),
+    num_clusters: int = 40,
+    seed: int = 0,
+) -> DatasetArtifacts:
+    """Synthetic dataset at the EXACT published scale and sparsity of VG
+    or TG (reference README.md:129-167): node/user/edge/interaction
+    counts, power-law degree distribution (co-purchase graphs are
+    scale-free), power-law per-user activity (TG: mean 2.8
+    interactions/user), popularity coupled between graph degree and
+    interaction frequency, cluster community structure, nonnegative
+    visual features (Inception-v4 avg-pool is post-ReLU), and the
+    reference's global random 80/20 interaction split
+    (preprocess.py / notebook cell 24). The closest operating-point
+    fidelity check available without network access to the Amazon dumps
+    (tools/validate_pipeline.py --shape VG|TG)."""
+    spec = PUBLISHED_SHAPES[shape.upper()]
+    num_nodes, num_users = spec["num_nodes"], spec["num_users"]
+    rng = np.random.default_rng(seed)
+
+    c = min(num_clusters, num_nodes)
+    cluster = rng.permutation(np.arange(num_nodes) % c).astype(np.int32)
+    members = [np.flatnonzero(cluster == k) for k in range(c)]
+    pop = _popularity(num_nodes, rng)
+
+    edges = _powerlaw_edges(
+        num_nodes, spec["num_edges"], cluster, members, pop, rng
+    )
+    graph = from_edges(num_nodes, edges)
+
+    feat_tables = []
+    for i, dim in enumerate(feat_dims):
+        centroids = rng.normal(size=(c, dim)).astype(np.float32)
+        table = np.zeros((num_nodes + NUM_SPECIAL_NODES, dim), np.float32)
+        noise = rng.normal(size=(num_nodes, dim)).astype(np.float32)
+        rows = centroids[cluster] + 0.4 * noise
+        if i == 0:  # visual: Inception-v4 avg-pool activations are ≥ 0
+            rows = np.maximum(rows, 0.0)
+        table[NUM_SPECIAL_NODES:] = rows
+        feat_tables.append(table)
+
+    pairs = _powerlaw_interactions(
+        num_users, num_nodes, spec["num_interactions"],
+        cluster, members, pop, rng,
+    )
+    perm = rng.permutation(len(pairs))
+    n_test = int(round(len(pairs) * 0.2))
+    test_idx, train_idx = perm[:n_test], perm[n_test:]
+
+    return DatasetArtifacts(
+        graph=graph,
+        feat_init_embs=feat_tables,
+        train_pairs=pairs[train_idx].astype(np.int32),
+        test_pairs=pairs[test_idx].astype(np.int32),
         num_users=num_users,
         num_items=num_nodes,
     )

@@ -345,3 +345,46 @@ def test_ng_sample_uniform_over_complement():
     freq = np.bincount(draws, minlength=num_items)[complement] / len(draws)
     tv = 0.5 * np.abs(freq - 1.0 / len(complement)).sum()
     assert tv < 0.02, f"TV distance from uniform too high: {tv}"
+
+
+def test_published_shape_dataset():
+    """make_published_shape_dataset hits the EXACT published VG counts
+    (reference README.md:129-167) with power-law degrees/activity,
+    min degree 1, nonnegative visual features, and determinism."""
+    from pmgt_tpu.data.synthetic import (
+        PUBLISHED_SHAPES,
+        make_published_shape_dataset,
+    )
+
+    spec = PUBLISHED_SHAPES["VG"]
+    art = make_published_shape_dataset("VG", feat_dims=(16, 8), seed=3)
+    deg = np.asarray(art.graph.degrees)[2:]
+    assert art.num_nodes == spec["num_nodes"]
+    assert art.num_users == spec["num_users"]
+    assert int(deg.sum()) // 2 == spec["num_edges"]
+    n_inter = len(art.train_pairs) + len(art.test_pairs)
+    assert n_inter == spec["num_interactions"]
+    # reference's global random 80/20 split
+    assert len(art.test_pairs) == round(n_inter * 0.2)
+    assert deg.min() >= 1
+    # Power-law signatures: heavy tails relative to the mean in both the
+    # degree and the per-user activity distributions.
+    assert deg.max() > 10 * deg.mean()
+    assert np.median(deg) < deg.mean()
+    users = np.concatenate([art.train_pairs[:, 0], art.test_pairs[:, 0]])
+    upc = np.bincount(users, minlength=art.num_users)
+    assert upc.max() > 5 * upc.mean()
+    # popularity couples graph degree and interaction frequency
+    items = np.concatenate([art.train_pairs[:, 1], art.test_pairs[:, 1]])
+    ipc = np.bincount(items, minlength=art.num_items)
+    assert np.corrcoef(deg, ipc)[0, 1] > 0.5
+    # feature statistics: visual (Inception avg-pool) nonneg, textual not
+    assert (art.feat_init_embs[0] >= 0).all()
+    assert (art.feat_init_embs[1] < 0).any()
+    assert (art.feat_init_embs[0][:2] == 0).all()  # special rows zeroed
+    # deterministic per seed
+    art2 = make_published_shape_dataset("VG", feat_dims=(16, 8), seed=3)
+    assert np.array_equal(art.train_pairs, art2.train_pairs)
+    assert np.array_equal(
+        np.asarray(art.graph.nbr_ids), np.asarray(art2.graph.nbr_ids)
+    )

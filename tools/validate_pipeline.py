@@ -25,27 +25,38 @@ _ap.add_argument("--families", default="neumf,dcn,gmf,mlp,neumf_pre",
                  help="comma list of downstream families to run")
 _ap.add_argument("--num-nodes", type=int, default=6500)
 _ap.add_argument("--num-users", type=int, default=5000)
+_ap.add_argument("--shape", choices=["VG", "TG"], default=None,
+                 help="run at the EXACT published scale/sparsity of the "
+                 "VG or TG dataset (power-law degrees + user activity, "
+                 "data/synthetic.py PUBLISHED_SHAPES); overrides "
+                 "--num-nodes/--num-users")
 _cli = _ap.parse_args()
 import numpy as np
 
 from pmgt_tpu.core.config import TrainArgs
 from pmgt_tpu.data.artifacts import save_native
-from pmgt_tpu.data.synthetic import make_synthetic_dataset
+from pmgt_tpu.data.synthetic import (
+    make_published_shape_dataset,
+    make_synthetic_dataset,
+)
 from pmgt_tpu.train.registry import RunRegistry
 
 OUT = _cli.out
 os.makedirs(OUT, exist_ok=True)
 results = {}
 
-art = make_synthetic_dataset(
-    num_nodes=_cli.num_nodes,
-    num_users=_cli.num_users,
-    num_clusters=40,
-    feat_dims=(1536, 768),
-    interactions_per_user=15,
-    avg_degree=16,
-    seed=42,
-)
+if _cli.shape:
+    art = make_published_shape_dataset(_cli.shape, seed=42)
+else:
+    art = make_synthetic_dataset(
+        num_nodes=_cli.num_nodes,
+        num_users=_cli.num_users,
+        num_clusters=40,
+        feat_dims=(1536, 768),
+        interactions_per_user=15,
+        avg_degree=16,
+        seed=42,
+    )
 print(
     f"dataset: {art.num_nodes} nodes, {art.num_users} users, "
     f"{len(art.train_pairs)} train pairs"
