@@ -319,6 +319,17 @@ def main():
             baseline = None
 
     per_chip = result["nodes_per_sec"] / result["n_devices"]
+    # Elision tripwire: the device step alone is ~9 ms at B=512 (xplane
+    # ground truth, ROADMAP), so a per-chip rate past this bound means
+    # the tunnel skipped work and the measurement harness needs fixing —
+    # not that the code got faster.
+    if per_chip / (args.batch_size / BATCH_SIZE) > 200_000:
+        print(
+            f"WARNING: {per_chip:.0f} nodes/sec/chip exceeds any physically "
+            "plausible rate for this workload — suspected tunnel elision; "
+            "numbers are NOT trustworthy (see CLAUDE.md measurement rule)",
+            file=sys.stderr,
+        )
     vs = per_chip / baseline["nodes_per_sec"] if baseline else 1.0
     out = {
         "metric": "pmgt_pretrain_nodes_per_sec_per_chip",
