@@ -114,6 +114,12 @@ _common_options = [
                  "each k-epoch group runs as ONE device dispatch "
                  "(amortizes the dispatch round trip; patience counts "
                  "evaluation points)"),
+    click.option("--ckpt-interval", type=click.INT, default=1,
+                 help="save the resumable 'last' checkpoint every k "
+                 "evaluation epochs (always on stop/preemption; the "
+                 "metric-keyed 'best' checkpoint is unaffected) — for "
+                 "large states where per-epoch checkpoint transfer "
+                 "dominates the epoch"),
 ]
 
 _COMMON_KEYS = {
@@ -146,6 +152,7 @@ _COMMON_KEYS = {
     "num_devices",
     "profile_dir",
     "eval_interval",
+    "ckpt_interval",
 }
 
 

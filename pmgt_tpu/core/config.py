@@ -160,6 +160,9 @@ class TrainArgs:
     # Evaluate/checkpoint every k epochs; in scan mode each k-epoch group
     # runs as ONE device dispatch (amortizes the dispatch round trip).
     eval_interval: int = 1
+    # Save the resumable `last` checkpoint every k evaluation epochs
+    # (always on stop/preemption; `best` is unaffected).
+    ckpt_interval: int = 1
 
     # --- workload-specific extras (populated by each CLI command) -------
     extra: Dict[str, Any] = field(default_factory=dict)

@@ -185,6 +185,7 @@ def train(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, floa
         resume=args.run_id is not None,
         swa_start=args.extra.get("swa_start"),
         eval_interval=args.eval_interval,
+        ckpt_interval=args.ckpt_interval,
     )
 
 

@@ -147,6 +147,7 @@ def fit(
     resume: bool = False,
     swa_start: Optional[int] = None,
     eval_interval: int = 1,
+    ckpt_interval: int = 1,
 ) -> Dict[str, float]:
     """Run the train/validate loop. Returns the final validation metrics
     plus ``best`` (the best monitored value seen); with ``swa_start`` set,
@@ -158,9 +159,20 @@ def fit(
     implements ``train_epochs`` runs each k-epoch group as ONE device
     dispatch — through a high-latency dispatch tunnel this amortizes the
     per-fetch round-trip stall k-fold. Per-epoch train losses are still
-    logged for every epoch."""
+    logged for every epoch.
+
+    ``ckpt_interval=k`` saves the resumable ``last`` checkpoint only at
+    evaluation epochs where ``(epoch + 1) % k == 0`` — plus ALWAYS when
+    the run stops (final epoch, early stop, pruning, preemption), so a
+    resume never loses more than k epochs and a finished run is always
+    resumable from its end. The metric-keyed ``best`` checkpoint is
+    unaffected (the reference's Lightning contract,
+    base_trainer.py:283-298, keys retention on the monitor only). Useful
+    when the state is large relative to checkpoint bandwidth."""
     if eval_interval < 1:
         raise ValueError(f"eval_interval must be >= 1, got {eval_interval}")
+    if ckpt_interval < 1:
+        raise ValueError(f"ckpt_interval must be >= 1, got {ckpt_interval}")
     monitor = f"val/{early_criterion}"
     mode = criterion_mode(early_criterion)
     swa = SWAAverager() if swa_start is not None else None
@@ -364,6 +376,17 @@ def fit(
                 patience += 1
 
             task.state = state
+            # Stop decisions are computed BEFORE checkpointing so a
+            # stopping run always saves a resumable `last`, even when
+            # ckpt_interval would skip this epoch.
+            prune = task_should_prune(task, value, epoch)
+            stop_early = bool(early and patience >= early)
+            stopping = (
+                guard.requested
+                or prune
+                or stop_early
+                or (e0 + g) >= num_epochs
+            )
             if ckpt_dir is not None:
                 import os
 
@@ -377,11 +400,21 @@ def fit(
                         "has_best": True,
                     },
                 }
+                do_last = stopping or (epoch + 1) % ckpt_interval == 0
+                if (do_last or improved) and jax.process_count() == 1:
+                    # ONE device->host fetch shared by the `last` and
+                    # `best` saves: orbax's per-save d2h copy is the
+                    # dominant checkpoint cost for large states (an
+                    # improved epoch would otherwise transfer the state
+                    # twice). Multi-host keeps jax arrays so every
+                    # process writes its own shards.
+                    payload = jax.device_get(payload)
                 # Async saves: the write+rename overlaps the next epoch;
                 # restore paths and the finally block finalize pending saves.
-                save_checkpoint(
-                    os.path.join(ckpt_dir, "last"), payload, block=False
-                )
+                if do_last:
+                    save_checkpoint(
+                        os.path.join(ckpt_dir, "last"), payload, block=False
+                    )
                 if improved:
                     save_checkpoint(
                         os.path.join(ckpt_dir, "best"), payload, block=False
@@ -398,11 +431,11 @@ def fit(
                 )
                 break
 
-            if task_should_prune(task, value, epoch):
+            if prune:
                 logger.info("trial pruned at epoch %d", epoch)
                 break
 
-            if early and patience >= early:
+            if stop_early:
                 logger.info("early stopping at epoch %d (patience %d)", epoch, early)
                 break
 

@@ -310,3 +310,69 @@ def test_pipelined_scan_discards_speculative_epoch():
     assert task.epoch_calls == [0, 1, 2, 3, 4]
     # state counts only PROCESSED epochs (speculative epoch 4 discarded)
     assert int(task.state["count"]) == 4
+
+
+def test_ckpt_interval_skips_intermediate_last_saves(tmp_path, monkeypatch):
+    """ckpt_interval=3: `last` is written only at qualifying epochs plus
+    the stop epoch; `best` still tracks every improvement."""
+    from pmgt_tpu.train import engine as eng
+
+    calls = []
+    real_save = eng.save_checkpoint
+
+    def spy(path, payload, block=True):
+        calls.append(os.path.basename(path))
+        return real_save(path, payload, block=block)
+
+    monkeypatch.setattr(eng, "save_checkpoint", spy)
+
+    registry = RunRegistry(str(tmp_path / "logs"))
+    run = registry.create_run("exp", {})
+    task = FakeTask([0.5, 0.8, 0.6, 0.9, 0.7, 0.65, 0.6])
+    engine.fit(
+        task,
+        num_epochs=7,
+        early=10,
+        early_criterion="auc",
+        registry=registry,
+        run=run,
+        log_every=0,
+        ckpt_interval=3,
+    )
+    # last at epochs 2 and 5 ((e+1)%3==0) and the final epoch 6
+    assert calls.count("last") == 3
+    # best improved at epochs 0, 1, 3
+    assert calls.count("best") == 3
+    payload = restore_checkpoint(os.path.join(run.ckpt_dir, "last"))
+    assert int(payload["meta"]["epoch"]) == 6
+
+
+def test_ckpt_interval_saves_last_on_early_stop(tmp_path):
+    """A run that early-stops between ckpt_interval points still leaves a
+    resumable `last` at the stop epoch."""
+    registry = RunRegistry(str(tmp_path / "logs"))
+    run = registry.create_run("exp", {})
+    task = FakeTask([0.9, 0.5, 0.4, 0.3])
+    engine.fit(
+        task,
+        num_epochs=50,
+        early=2,
+        early_criterion="auc",
+        registry=registry,
+        run=run,
+        log_every=0,
+        ckpt_interval=100,
+    )
+    # early stop at epoch 2 (patience 2 after best at epoch 0)
+    payload = restore_checkpoint(os.path.join(run.ckpt_dir, "last"))
+    assert int(payload["meta"]["epoch"]) == 2
+    assert read_best_info(run.ckpt_dir)["epoch"] == 0
+
+
+def test_ckpt_interval_validation():
+    task = FakeTask([0.5])
+    with pytest.raises(ValueError):
+        engine.fit(
+            task, num_epochs=1, early=1, early_criterion="auc",
+            ckpt_interval=0,
+        )

@@ -69,7 +69,7 @@ args = TrainArgs(
     model_name="PMGT", dataset_name="Q", seed=0, num_epochs=_cli.pmgt_epochs,
     train_batch_size=256, test_batch_size=512, lr=1e-4, decay=1e-2,
     early=5, early_criterion="auc", valid_size=0.1, mp_enabled=True,
-    gradient_max_norm=5.0, log_dir=f"{OUT}/logs",
+    gradient_max_norm=5.0, ckpt_interval=1_000_000, log_dir=f"{OUT}/logs",
     extra=dict(
         hidden_size=128,
         intermediate_size=128,
@@ -103,7 +103,7 @@ def run_ncf(name, model_name, extra):
         num_epochs=_cli.downstream_epochs,
         train_batch_size=256, test_batch_size=512, lr=1e-3, decay=0.0,
         early=4, early_criterion="n20", valid_size=0.2, mp_enabled=True,
-        gradient_max_norm=5.0, log_dir=f"{OUT}/logs", extra=dict(extra),
+        gradient_max_norm=5.0, ckpt_interval=1_000_000, log_dir=f"{OUT}/logs", extra=dict(extra),
     )
     c = {"artifacts": art}
     ncf_task.check_args(a)
@@ -159,7 +159,7 @@ for tag, emb in (("plain", None), ("pmgt", emb_path)) if "dcn" in FAMILIES else 
         model_name="DCN", dataset_name="Q", seed=0, num_epochs=_cli.downstream_epochs,
         train_batch_size=256, test_batch_size=512, lr=1e-3, decay=1e-3,
         early=4, early_criterion="auc", valid_size=0.2, mp_enabled=True,
-        gradient_max_norm=5.0, log_dir=f"{OUT}/logs", extra=extra,
+        gradient_max_norm=5.0, ckpt_interval=1_000_000, log_dir=f"{OUT}/logs", extra=extra,
     )
     c = {"artifacts": art}
     dcn_task.check_args(a)
