@@ -27,13 +27,12 @@ from pmgt_tpu.data.interactions import (
 from pmgt_tpu.metrics.ranking import roc_auc, stable_sigmoid
 from pmgt_tpu.models.dcn import DCN
 from pmgt_tpu.models.ncf import inject_item_embeddings
-from pmgt_tpu.core.mesh import (
-    gather_to_host,
-    pad_to_multiple,
-    put_along_data_axis,
-    replicate_host,
+from pmgt_tpu.core.mesh import gather_to_host, replicate_host
+from pmgt_tpu.tasks.interaction_base import (
+    InteractionTaskBase,
+    TrainState,
+    chunk_eval_inputs,
 )
-from pmgt_tpu.tasks.interaction_base import InteractionTaskBase, TrainState
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
 from pmgt_tpu.train.registry import locate_eval_ckpt
@@ -88,40 +87,57 @@ class DCNTask(InteractionTaskBase):
         for split, data in (("valid", valid_data), ("test", test_data)):
             key = jax.random.key(np.uint32(args.seed * 23 + (split == "test")))
             self._eval_arrays[split] = epoch_training_arrays(data, ms, key)
+        self._eval_fn = jax.jit(self._eval_impl)
+        self._eval_cache: Dict[str, Any] = {}
+
+    def _eval_impl(self, params, users_c, items_c, labels_c, mask_c):
+        """Whole-split evaluation as ONE program: ``lax.map`` over
+        [C, chunk] point chunks (one device dispatch instead of ~950 at
+        TG scale — each host dispatch pays a tunnel round trip). Returns
+        per-point logits plus per-chunk masked-BCE sums/counts, the same
+        mean-of-per-chunk-means the chunked host loop computed (padding
+        rows carry mask 0 and only occur in the final chunk)."""
+
+        def one(chunk):
+            u, it, lb, m = chunk
+            logits = self._score_impl(params, u, it)
+            bce = (
+                jnp.maximum(logits, 0)
+                - logits * lb
+                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            )
+            return logits, (bce * m).sum(), m.sum()
+
+        return jax.lax.map(one, (users_c, items_c, labels_c, mask_c))
 
     def evaluate(self, state, split: str = "valid") -> Dict[str, float]:
         params = state.params if isinstance(state, TrainState) else state
-        users, items, labels = self._eval_arrays[
-            "valid" if split == "valid" else "test"
-        ]
-        bs = self.args.test_batch_size
-        # every dispatched chunk is padded to one fixed device-divisible
-        # length (bs itself may not be a mesh multiple)
-        target = pad_to_multiple(bs, self.mesh.size)
-        probs = []
-        losses = []
-        rep_params = replicate_host(self.mesh, params)
-        for i in range(0, len(users), bs):
-            sl = slice(i, i + bs)
-            u, it, lb = users[sl], items[sl], labels[sl]
-            pad = target - len(u)
-            if pad:
-                u = np.concatenate([u, np.zeros(pad, u.dtype)])
-                it = np.concatenate([it, np.zeros(pad, it.dtype)])
-            logits = gather_to_host(
-                self._score_fn(
-                    rep_params,
-                    put_along_data_axis(self.mesh, u.astype(np.int32)),
-                    put_along_data_axis(self.mesh, it.astype(np.int32)),
-                )
-            )[: len(labels[sl])]
-            bce = np.maximum(logits, 0) - logits * lb + np.log1p(
-                np.exp(-np.abs(logits))
+        split = "valid" if split == "valid" else "test"
+        users, items, labels = self._eval_arrays[split]
+        if split not in self._eval_cache:
+            n, _, dev = chunk_eval_inputs(
+                self.mesh,
+                self.args.test_batch_size,
+                (
+                    users.astype(np.int32),
+                    items.astype(np.int32),
+                    labels.astype(np.float32),
+                    np.ones(len(users), np.float32),
+                ),
             )
-            losses.append(bce.mean())
-            probs.append(stable_sigmoid(logits))
+            # Eval points are fixed at build time, so the device tensors
+            # are reusable across every eval of the run.
+            self._eval_cache[split] = (n, dev)
+        n, dev = self._eval_cache[split]
+        logits_c, loss_sums, mask_cnts = self._eval_fn(
+            replicate_host(self.mesh, params), *dev
+        )
+        logits = gather_to_host(logits_c).reshape(-1)[:n]
+        sums = gather_to_host(loss_sums)
+        cnts = gather_to_host(mask_cnts)
+        losses = (sums / np.maximum(cnts, 1))[cnts > 0]
 
-        probs = np.concatenate(probs)
+        probs = stable_sigmoid(logits)
         probs[np.isnan(probs)] = 0  # reference NaN guard (dcn/trainer.py:201)
         auc = roc_auc(labels, probs)
         prefix = "val" if split == "valid" else "test"

@@ -28,13 +28,12 @@ from pmgt_tpu.data.interactions import (
 )
 from pmgt_tpu.metrics.ranking import get_ndcg, get_recall
 from pmgt_tpu.models.ncf import NCF, fuse_neumf_params, inject_item_embeddings
-from pmgt_tpu.core.mesh import (
-    gather_to_host,
-    pad_to_multiple,
-    put_along_data_axis,
-    replicate_host,
+from pmgt_tpu.core.mesh import gather_to_host, replicate_host
+from pmgt_tpu.tasks.interaction_base import (
+    InteractionTaskBase,
+    TrainState,
+    chunk_eval_inputs,
 )
-from pmgt_tpu.tasks.interaction_base import InteractionTaskBase, TrainState
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
 from pmgt_tpu.train.registry import RunRegistry, locate_eval_ckpt
@@ -73,6 +72,8 @@ class NCFTask(InteractionTaskBase):
         params = self._apply_pretrained(dict(params))
         self.finish_init(params)
         self._rank_fn = jax.jit(self._rank_impl)
+        self._eval_fn = jax.jit(self._eval_impl)
+        self._eval_cache: Dict[str, Any] = {}
 
     def _apply_pretrained(self, params: Dict[str, Any]) -> Dict[str, Any]:
         """NeuMF-pre fusion from GMF/MLP runs + optional PMGT item-embedding
@@ -125,51 +126,63 @@ class NCFTask(InteractionTaskBase):
         top_items = jnp.take_along_axis(candidates, top_idx, axis=1)
         return top_items, logits
 
+    def _eval_impl(self, params, users_c, cand_c, mask_c, labels_c):
+        """Whole-split evaluation as ONE program: ``lax.map`` over
+        [C, chunk] user chunks (one device dispatch instead of one per
+        chunk — each host dispatch pays a tunnel round trip). Returns
+        per-user top-k items plus per-chunk masked-BCE sums/counts, the
+        same mean-of-per-chunk-means the chunked host loop computed
+        (padding rows carry mask 0, so they contribute nothing)."""
+
+        def one(chunk):
+            u, c, m, lb = chunk
+            top_items, logits = self._rank_impl(params, u, c, m)
+            bce = (
+                jnp.maximum(logits, 0)
+                - logits * lb
+                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            )
+            return top_items, (bce * m).sum(), m.sum()
+
+        return jax.lax.map(one, (users_c, cand_c, mask_c, labels_c))
+
     def evaluate(self, state, split: str = "valid") -> Dict[str, float]:
         params = state.params if isinstance(state, TrainState) else state
         data = self.valid_data if split == "valid" else self.test_data
-        key = jax.random.key(np.uint32(self.args.seed * 17 + (split == "test")))
-        users, candidates, cand_mask, labels = build_eval_candidates(
-            data, self.args.extra.get("max_sample_items", 1000), key
-        )
-        bs = max(self.args.test_batch_size // 8, self.mesh.size)
-        # every dispatched chunk is padded to one fixed device-divisible
-        # length (bs itself may not be a mesh multiple)
-        target = pad_to_multiple(bs, self.mesh.size)
-        preds = []
-        losses = []
-        for i in range(0, len(users), bs):
-            sl = slice(i, i + bs)
-            u = users[sl]
-            pad = target - len(u)
-            if pad:
-                u = np.concatenate([u, np.zeros(pad, np.int32)])
-                c = np.concatenate(
-                    [candidates[sl], np.zeros((pad,) + candidates.shape[1:], np.int32)]
-                )
-                m = np.concatenate(
-                    [cand_mask[sl], np.zeros((pad,) + cand_mask.shape[1:], np.float32)]
-                )
-            else:
-                c, m = candidates[sl], cand_mask[sl]
-            top_items, logits = self._rank_fn(
-                replicate_host(self.mesh, params),
-                put_along_data_axis(self.mesh, u),
-                put_along_data_axis(self.mesh, c),
-                put_along_data_axis(self.mesh, m),
+        if split not in self._eval_cache:
+            key = jax.random.key(
+                np.uint32(self.args.seed * 17 + (split == "test"))
             )
-            n = len(users[sl])
-            preds.append(gather_to_host(top_items)[:n])
-            lg = gather_to_host(logits)[:n]
-            lb = labels[sl]
-            mk = cand_mask[sl]
-            bce = np.maximum(lg, 0) - lg * lb + np.log1p(np.exp(-np.abs(lg)))
-            losses.append((bce * mk).sum() / np.maximum(mk.sum(), 1))
+            users, candidates, cand_mask, labels = build_eval_candidates(
+                data, self.args.extra.get("max_sample_items", 1000), key
+            )
+            n, _, dev = chunk_eval_inputs(
+                self.mesh,
+                max(self.args.test_batch_size // 8, self.mesh.size),
+                (
+                    users.astype(np.int32),
+                    candidates.astype(np.int32),
+                    cand_mask.astype(np.float32),
+                    labels.astype(np.float32),
+                ),
+            )
+            # The candidate draw is keyed per split (NOT per epoch), so
+            # the device tensors are reusable across every eval of a run.
+            self._eval_cache[split] = (n, dev)
+        n, dev = self._eval_cache[split]
+        top_items, loss_sums, mask_cnts = self._eval_fn(
+            replicate_host(self.mesh, params), *dev
+        )
+        prediction = gather_to_host(top_items).reshape(
+            -1, top_items.shape[-1]
+        )[:n]
+        sums = gather_to_host(loss_sums)
+        cnts = gather_to_host(mask_cnts)
+        losses = sums / np.maximum(cnts, 1)
 
-        prediction = np.concatenate(preds)
         gt_sets = [
             data.user_pos[r, : data.user_pos_count[r]].tolist()
-            for r in range(len(users))
+            for r in range(n)
         ]
         prefix = "val" if split == "valid" else "test"
         results = {f"{prefix}/loss": float(np.mean(losses))}

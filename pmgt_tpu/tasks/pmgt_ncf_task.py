@@ -27,7 +27,6 @@ from pmgt_tpu.core.mesh import (
     batch_sharding,
     gather_to_host,
     make_mesh,
-    pad_to_multiple,
     put_along_data_axis,
     replicate_host,
     replicated,
@@ -44,7 +43,11 @@ from pmgt_tpu.metrics.ranking import get_ndcg, get_recall
 from pmgt_tpu.models.pmgt import bce_with_logits
 from pmgt_tpu.models.pmgt_ncf import PMGT_NCF
 from pmgt_tpu.sampling.pairs import sample_all_contexts
-from pmgt_tpu.tasks.interaction_base import ServingTopKMixin, TrainState
+from pmgt_tpu.tasks.interaction_base import (
+    ServingTopKMixin,
+    TrainState,
+    chunk_eval_inputs,
+)
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
 from pmgt_tpu.train.registry import locate_eval_ckpt
@@ -187,6 +190,8 @@ class PMGTNCFTask(ServingTopKMixin):
         self._ctx_cache = None
         self._train_step_fn = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._rank_fn = jax.jit(self._rank_impl)
+        self._eval_fn = jax.jit(self._eval_impl)
+        self._eval_cache: Dict[str, Any] = {}
         self._epoch_arrays: Optional[Tuple[np.ndarray, ...]] = None
 
         # Whole-epoch scan runner (see pmgt_task.train_epoch).
@@ -284,6 +289,29 @@ class PMGTNCFTask(ServingTopKMixin):
         _, top_idx = jax.lax.top_k(masked, min(TOPK, l))
         return jnp.take_along_axis(candidates, top_idx, axis=1), logits
 
+    def _eval_impl(self, params, feat_tables, ctx, users_c, cand_c,
+                   mask_c, labels_c):
+        """Whole-split evaluation as ONE program: ``lax.map`` over
+        [C, chunk] user chunks (one device dispatch instead of one per
+        chunk — each host dispatch pays a tunnel round trip). Returns
+        per-user top-k items plus per-chunk masked-BCE sums/counts, the
+        same mean-of-per-chunk-means the chunked host loop computed
+        (padding rows carry mask 0, so they contribute nothing)."""
+
+        def one(chunk):
+            u, c, m, lb = chunk
+            top_items, logits = self._rank_impl(
+                params, feat_tables, u, c, m, ctx
+            )
+            bce = (
+                jnp.maximum(logits, 0)
+                - logits * lb
+                + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            )
+            return top_items, (bce * m).sum(), m.sum()
+
+        return jax.lax.map(one, (users_c, cand_c, mask_c, labels_c))
+
     # ------------------------------------------------------------------
     # engine Task protocol
     # ------------------------------------------------------------------
@@ -357,49 +385,40 @@ class PMGTNCFTask(ServingTopKMixin):
         if self._ctx_cache is None:
             self.on_epoch_start(0)
         ctx = self._ctx_cache
-        key = jax.random.key(np.uint32(self.args.seed * 17 + (split == "test")))
-        users, candidates, cand_mask, labels = build_eval_candidates(
-            data, self.args.extra.get("max_sample_items", 1000), key
-        )
-        bs = max(self.args.test_batch_size // 64, self.mesh.size)
-        # every dispatched chunk is padded to one fixed device-divisible
-        # length (bs itself may not be a mesh multiple)
-        target = pad_to_multiple(bs, self.mesh.size)
-        preds, losses = [], []
-        rep_params = replicate_host(self.mesh, params)
-        for i in range(0, len(users), bs):
-            sl = slice(i, i + bs)
-            u = users[sl]
-            pad = target - len(u)
-            if pad:
-                u = np.concatenate([u, np.zeros(pad, np.int32)])
-                c = np.concatenate(
-                    [candidates[sl], np.zeros((pad,) + candidates.shape[1:], np.int32)]
-                )
-                m = np.concatenate(
-                    [cand_mask[sl], np.zeros((pad,) + cand_mask.shape[1:], np.float32)]
-                )
-            else:
-                c, m = candidates[sl], cand_mask[sl]
-            top_items, logits = self._rank_fn(
-                rep_params,
-                self.feat_tables,
-                put_along_data_axis(self.mesh, u),
-                put_along_data_axis(self.mesh, c),
-                put_along_data_axis(self.mesh, m),
-                ctx,
+        if split not in self._eval_cache:
+            key = jax.random.key(
+                np.uint32(self.args.seed * 17 + (split == "test"))
             )
-            n = len(users[sl])
-            preds.append(gather_to_host(top_items)[:n])
-            lg = gather_to_host(logits)[:n]
-            lb, mk = labels[sl], cand_mask[sl]
-            bce = np.maximum(lg, 0) - lg * lb + np.log1p(np.exp(-np.abs(lg)))
-            losses.append((bce * mk).sum() / np.maximum(mk.sum(), 1))
+            users, candidates, cand_mask, labels = build_eval_candidates(
+                data, self.args.extra.get("max_sample_items", 1000), key
+            )
+            n, _, dev = chunk_eval_inputs(
+                self.mesh,
+                max(self.args.test_batch_size // 64, self.mesh.size),
+                (
+                    users.astype(np.int32),
+                    candidates.astype(np.int32),
+                    cand_mask.astype(np.float32),
+                    labels.astype(np.float32),
+                ),
+            )
+            # The candidate draw is keyed per split (NOT per epoch), so
+            # the device tensors are reusable across every eval of a run.
+            self._eval_cache[split] = (n, dev)
+        n, dev = self._eval_cache[split]
+        top_items, loss_sums, mask_cnts = self._eval_fn(
+            replicate_host(self.mesh, params), self.feat_tables, ctx, *dev
+        )
+        prediction = gather_to_host(top_items).reshape(
+            -1, top_items.shape[-1]
+        )[:n]
+        sums = gather_to_host(loss_sums)
+        cnts = gather_to_host(mask_cnts)
+        losses = sums / np.maximum(cnts, 1)
 
-        prediction = np.concatenate(preds)
         gt_sets = [
             data.user_pos[r, : data.user_pos_count[r]].tolist()
-            for r in range(len(users))
+            for r in range(n)
         ]
         prefix = "val" if split == "valid" else "test"
         results = {f"{prefix}/loss": float(np.mean(losses))}

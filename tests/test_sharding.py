@@ -248,3 +248,28 @@ def test_eval_pads_non_multiple_test_batch(art):
     metrics = task.evaluate(task.state, "valid")
     assert np.isfinite(metrics["val/auc"])
     assert np.isfinite(metrics["val/loss"])
+
+
+def test_chunk_eval_inputs_padding_and_sharding():
+    """chunk_eval_inputs pads to whole mesh-divisible chunks, shards the
+    chunk axis, and round-trips the real rows (padding is zeros)."""
+    from pmgt_tpu.tasks.interaction_base import chunk_eval_inputs
+
+    mesh = make_mesh(8)
+    n = 37
+    users = np.arange(n, dtype=np.int32)
+    cands = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+    n_out, chunk, (u_dev, c_dev) = chunk_eval_inputs(mesh, 10, (users, cands))
+    assert n_out == n
+    assert chunk == 16  # 10 padded up to a multiple of 8
+    c = -(-n // chunk)
+    assert u_dev.shape == (c, chunk)
+    assert c_dev.shape == (c, chunk, 3)
+    u_host = np.asarray(u_dev).reshape(-1)
+    c_host = np.asarray(c_dev).reshape(-1, 3)
+    np.testing.assert_array_equal(u_host[:n], users)
+    np.testing.assert_array_equal(c_host[:n], cands)
+    assert (u_host[n:] == 0).all() and (c_host[n:] == 0).all()
+    # the chunk axis (axis=1) is the sharded one
+    spec = u_dev.sharding.spec
+    assert spec[0] is None and spec[1] is not None
