@@ -116,6 +116,44 @@ class ServingTopKMixin:
         scores, top_idx = jax.lax.top_k(logits, min(k, chunk_size))
         return jnp.take_along_axis(it, top_idx, axis=1), scores
 
+    def _topk_all_impl(self, params, users_c, pos_c, extras, *,
+                       chunk_size: int, k: int, exclude: bool,
+                       num_chunks: int):
+        """Full-catalog top-k as ONE program: ``lax.map`` over [C, B]
+        user batches, ``lax.scan`` over catalog chunks inside, with the
+        running top-k merged on device (carry entries precede the new
+        chunk in the concat, so ties resolve to the earliest chunk —
+        the same stable order the old host-side merge produced). The
+        host double loop dispatched user_batches x item_chunks jitted
+        calls (~4000 tunnel round trips for PMGT_NCF serving at TG
+        scale); this is a single dispatch."""
+        starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
+
+        def per_batch(batch):
+            users, pos = batch
+
+            def body(carry, start):
+                ids, sc = self._topk_chunk_impl(
+                    params, users, pos, start, extras,
+                    chunk_size=chunk_size, k=k, exclude=exclude,
+                )
+                all_ids = jnp.concatenate([carry[0], ids], axis=1)
+                all_sc = jnp.concatenate([carry[1], sc], axis=1)
+                best_sc, idx = jax.lax.top_k(all_sc, k)
+                return (
+                    jnp.take_along_axis(all_ids, idx, axis=1),
+                    best_sc,
+                ), None
+
+            init = (
+                jnp.zeros((users.shape[0], k), jnp.int32),
+                jnp.full((users.shape[0], k), -jnp.inf, jnp.float32),
+            )
+            (ids, sc), _ = jax.lax.scan(body, init, starts)
+            return ids, sc
+
+        return jax.lax.map(per_batch, (users_c, pos_c))
+
     def export_topk(
         self,
         params,
@@ -157,54 +195,34 @@ class ServingTopKMixin:
         if maxp and has.any():
             pos_all[has, :maxp] = data.user_pos[safe[has]]
 
-        if not hasattr(self, "_topk_chunk_fn"):
-            self._topk_chunk_fn = jax.jit(
-                self._topk_chunk_impl,
-                static_argnames=("chunk_size", "k", "exclude"),
+        if not hasattr(self, "_topk_all_fn"):
+            self._topk_all_fn = jax.jit(
+                self._topk_all_impl,
+                static_argnames=("chunk_size", "k", "exclude", "num_chunks"),
             )
         params_dev = replicate_host(self.mesh, params)
-        target = pad_to_multiple(min(user_batch, num_users), self.mesh.size)
         n_chunks = -(-num_items // item_chunk)
-        ids_out, sc_out = [], []
-        for i in range(0, num_users, target):
-            u = all_users[i : i + target]
-            n = len(u)
-            pad = target - n
-            if pad:
-                u = np.concatenate([u, np.zeros(pad, np.int32)])
-                pos = np.concatenate(
-                    [
-                        pos_all[i : i + n],
-                        np.full((pad, pos_all.shape[1]), num_items, np.int32),
-                    ]
-                )
-            else:
-                pos = pos_all[i : i + target]
-            u_dev = put_along_data_axis(self.mesh, u)
-            pos_dev = put_along_data_axis(self.mesh, pos)
-            chunk_ids, chunk_sc = [], []
-            for c in range(n_chunks):
-                ids, sc = self._topk_chunk_fn(
-                    params_dev,
-                    u_dev,
-                    pos_dev,
-                    np.int32(c * item_chunk),
-                    extras,
-                    chunk_size=item_chunk,
-                    k=k,
-                    exclude=exclude_train,
-                )
-                chunk_ids.append(gather_to_host(ids)[:n])
-                chunk_sc.append(gather_to_host(sc)[:n])
-            allid = np.concatenate(chunk_ids, axis=1)
-            allsc = np.concatenate(chunk_sc, axis=1)
-            order = np.argsort(-allsc, axis=1, kind="stable")[:, :k]
-            ids_out.append(np.take_along_axis(allid, order, axis=1))
-            sc_out.append(np.take_along_axis(allsc, order, axis=1))
+        n, _, (u_dev, pos_dev) = chunk_eval_inputs(
+            self.mesh, min(user_batch, num_users), (all_users, pos_all)
+        )
+        ids, sc = self._topk_all_fn(
+            params_dev,
+            u_dev,
+            pos_dev,
+            extras,
+            chunk_size=item_chunk,
+            k=k,
+            exclude=exclude_train,
+            num_chunks=n_chunks,
+        )
         return {
             "user_ids": all_users,
-            "item_ids": np.concatenate(ids_out).astype(np.int32),
-            "scores": np.concatenate(sc_out).astype(np.float32),
+            "item_ids": gather_to_host(ids)
+            .reshape(-1, k)[:n]
+            .astype(np.int32),
+            "scores": gather_to_host(sc)
+            .reshape(-1, k)[:n]
+            .astype(np.float32),
         }
 
 
