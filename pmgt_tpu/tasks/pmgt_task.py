@@ -28,6 +28,7 @@ from pmgt_tpu.core.mesh import (
     batch_sharding,
     gather_to_host,
     make_mesh,
+    pad_to_multiple,
     put_along_data_axis,
     replicate_host,
     replicated,
@@ -284,6 +285,9 @@ class PMGTTask:
         )
         self._eval_step_fn = jax.jit(self._eval_step_impl)
         self._encode_fn = jax.jit(self._encode_impl)
+        self._eval_all_fn = jax.jit(self._eval_all_impl)
+        self._encode_all_fn = jax.jit(self._encode_all_impl)
+        self._eval_input_cache: Dict[str, Any] = {}
         self._epoch_rng = np.random.default_rng(args.seed)
         self._step_count = 0
 
@@ -476,6 +480,39 @@ class PMGTTask:
         pair_valid = batch.pair_valid * sample_valid[:, None]
         return out.logits, batch.labels, pair_valid
 
+    def _eval_all_impl(self, params, graph, feat_tables, targets_c, sv_c,
+                       seed, ctx):
+        """Whole-split evaluation as ONE program: ``lax.map`` over
+        [C, chunk] node chunks (one device dispatch instead of one per
+        chunk — each host dispatch pays a tunnel round trip). Per-chunk
+        keys derive in-program from the seed scalar."""
+
+        def one(args_):
+            idx, targets, sv = args_
+            key = jax.random.fold_in(jax.random.key(seed), idx)
+            return self._eval_step_impl(
+                params, graph, feat_tables, targets, sv, key, ctx
+            )
+
+        idxs = jnp.arange(targets_c.shape[0], dtype=jnp.uint32)
+        return jax.lax.map(one, (idxs, targets_c, sv_c))
+
+    def _encode_all_impl(self, params, graph, feat_tables, targets_c,
+                         seed, ctx):
+        """Whole-catalog CLS export as ONE program (inference mode):
+        ``lax.map`` over [C, chunk] node chunks — 195 per-chunk
+        dispatches at the 100k-node scale collapse to one."""
+
+        def one(args_):
+            idx, targets = args_
+            key = jax.random.fold_in(jax.random.key(seed), idx)
+            return self._encode_impl(
+                params, graph, feat_tables, targets, key, ctx
+            )
+
+        idxs = jnp.arange(targets_c.shape[0], dtype=jnp.uint32)
+        return jax.lax.map(one, (idxs, targets_c))
+
     def _encode_impl(self, params, graph, feat_tables, targets, key, ctx):
         """CLS embeddings for a batch of nodes (inference export)."""
         from pmgt_tpu.sampling.mcn import sample_context
@@ -567,33 +604,38 @@ class PMGTTask:
 
     def evaluate(self, state, split: str = "valid") -> Dict[str, float]:
         params = state.params if isinstance(state, TrainState) else state
-        nodes = self.valid_nodes
-        bs = self.args.test_batch_size
-        n_dev = self.mesh.size
         ctx = self._get_ctx((split, self._step_count))
-        logits_all, labels_all, valid_all = [], [], []
-        for i in range(0, len(nodes), bs):
-            chunk = nodes[i : i + bs]
-            pad = (-len(chunk)) % max(bs, n_dev)
-            sample_valid = np.concatenate(
-                [np.ones(len(chunk), np.float32), np.zeros(pad, np.float32)]
+        if "eval" not in self._eval_input_cache:
+            # One fixed [C, chunk] chunking of the (constant) eval node
+            # set, device-cached for the run; the whole split is then
+            # scored by a single lax.map dispatch per eval.
+            nodes = self.valid_nodes
+            chunk = pad_to_multiple(self.args.test_batch_size, self.mesh.size)
+            n = len(nodes)
+            c = max(-(-n // chunk), 1)
+            padded = np.full(c * chunk, NUM_SPECIAL_NODES, np.int32)
+            padded[:n] = nodes
+            sv = np.zeros(c * chunk, np.float32)
+            sv[:n] = 1.0
+            self._eval_input_cache["eval"] = (
+                put_along_data_axis(
+                    self.mesh, padded.reshape(c, chunk), axis=1
+                ),
+                put_along_data_axis(self.mesh, sv.reshape(c, chunk), axis=1),
             )
-            padded = np.concatenate(
-                [chunk, np.full(pad, NUM_SPECIAL_NODES, np.int32)]
-            )
-            targets = put_along_data_axis(self.mesh, padded)
-            sv = put_along_data_axis(self.mesh, sample_valid)
-            key = jax.random.key(np.uint32(self.args.seed * 31 + i + 1))
-            logits, labels, pair_valid = self._eval_step_fn(
-                params, self.graph, self.feat_tables, targets, sv, key, ctx
-            )
-            logits_all.append(gather_to_host(logits))
-            labels_all.append(gather_to_host(labels))
-            valid_all.append(gather_to_host(pair_valid))
-
-        logits = np.concatenate(logits_all).ravel()
-        labels = np.concatenate(labels_all).ravel()
-        valid = np.concatenate(valid_all).ravel() > 0
+        targets_c, sv_c = self._eval_input_cache["eval"]
+        logits, labels, pair_valid = self._eval_all_fn(
+            params,
+            self.graph,
+            self.feat_tables,
+            targets_c,
+            sv_c,
+            np.uint32(self.args.seed * 31),
+            ctx,
+        )
+        logits = gather_to_host(logits).ravel()
+        labels = gather_to_host(labels).ravel()
+        valid = gather_to_host(pair_valid).ravel() > 0
         logits, labels = logits[valid], labels[valid]
 
         probs = stable_sigmoid(logits)
@@ -617,26 +659,27 @@ class PMGTTask:
         (pmgt/pmgt/trainer.py:259-275)."""
         bs = batch_size or self.args.test_batch_size
         n = self.artifacts.num_nodes
-        all_nodes = np.arange(
+        ctx = self._get_ctx(("inference",))
+        chunk = pad_to_multiple(bs, self.mesh.size)
+        c = max(-(-n // chunk), 1)
+        padded = np.full(c * chunk, NUM_SPECIAL_NODES, np.int32)
+        padded[:n] = np.arange(
             NUM_SPECIAL_NODES, n + NUM_SPECIAL_NODES, dtype=np.int32
         )
-        ctx = self._get_ctx(("inference",))
-        outs = []
-        for i in range(0, n, bs):
-            chunk = all_nodes[i : i + bs]
-            pad = (-len(chunk)) % max(bs, self.mesh.size)
-            padded = np.concatenate(
-                [chunk, np.full(pad, NUM_SPECIAL_NODES, np.int32)]
+        targets_c = put_along_data_axis(
+            self.mesh, padded.reshape(c, chunk), axis=1
+        )
+        cls = gather_to_host(
+            self._encode_all_fn(
+                params,
+                self.graph,
+                self.feat_tables,
+                targets_c,
+                np.uint32(self.args.seed * 13 + 7),
+                ctx,
             )
-            targets = put_along_data_axis(self.mesh, padded)
-            key = jax.random.key(np.uint32(self.args.seed * 13 + i + 7))
-            cls = gather_to_host(
-                self._encode_fn(
-                    params, self.graph, self.feat_tables, targets, key, ctx
-                )
-            )
-            outs.append(cls[: len(chunk)])
-        return np.concatenate(outs).astype(np.float32)
+        )
+        return cls.reshape(c * chunk, -1)[:n].astype(np.float32)
 
 
 # ----------------------------------------------------------------------
