@@ -145,6 +145,33 @@ if "neumf_pre" in FAMILIES:
         ),
     )
 
+# ---------------- PMGT_NCF (beyond reference; opt-in) ----------------
+if "pmgt_ncf" in FAMILIES:
+    from pmgt_tpu.tasks import pmgt_ncf_task
+
+    a = TrainArgs(
+        model_name="NeuMF-end", dataset_name="Q", seed=0,
+        num_epochs=_cli.downstream_epochs,
+        train_batch_size=256, test_batch_size=512, lr=1e-3, decay=0.0,
+        early=4, early_criterion="n20", valid_size=0.2, mp_enabled=True,
+        gradient_max_norm=5.0, ckpt_interval=1_000_000,
+        log_dir=f"{OUT}/logs",
+        extra=dict(
+            factor_num=64, num_layers=2, num_ng=1, max_sample_items=500,
+            hidden_size=128, intermediate_size=128, num_hidden_layers=5,
+        ),
+    )
+    c = {"artifacts": art}
+    pmgt_ncf_task.check_args(a)
+    pmgt_ncf_task.init_run(a)
+    pmgt_ncf_task.init_dataloader(a, c)
+    pmgt_ncf_task.init_model(a, c)
+    r = reg.create_run("pmgt_ncf", a.to_dict())
+    pmgt_ncf_task.train(a, c, reg, r)
+    t = pmgt_ncf_task.test(a, c, reg, r)
+    results["pmgt_ncf"] = t
+    print("pmgt_ncf:", t)
+
 # ---------------- DCN with/without ----------------
 from pmgt_tpu.tasks import dcn_task
 
