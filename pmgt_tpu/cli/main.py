@@ -338,6 +338,13 @@ def train_pmgt(ctx: click.Context, **raw_args):
 @click.option(
     "--attention-impl", type=click.Choice(["xla", "pallas"]), default=None
 )
+@click.option("--topk", type=click.INT, default=100,
+              help="inference mode: items per user in the serving export")
+@click.option("--serve-user-batch", type=click.INT, default=64,
+              help="inference mode: users per serving tile (each pays "
+              "user_batch x item_chunk encoder forwards)")
+@click.option("--serve-item-chunk", type=click.INT, default=1024,
+              help="inference mode: catalog chunk per serving tile")
 @click.pass_context
 def train_pmgt_ncf(ctx: click.Context, **raw_args):
     """Train PMGT_NCF (end-to-end PMGT item tower inside NCF)."""

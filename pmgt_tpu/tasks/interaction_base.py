@@ -183,17 +183,13 @@ class ServingTopKMixin:
         # get an all-padding row and full-catalog candidates.
         maxp = data.user_pos.shape[1]
         all_users = np.arange(num_users, dtype=np.int32)
-        row_of = np.searchsorted(data.unique_users, all_users)
-        safe = np.clip(row_of, 0, max(len(data.unique_users) - 1, 0))
-        has = (
-            (row_of < len(data.unique_users))
-            & (len(data.unique_users) > 0)
-        )
-        if len(data.unique_users):
-            has &= data.unique_users[safe] == all_users
         pos_all = np.full((num_users, max(maxp, 1)), num_items, np.int32)
-        if maxp and has.any():
-            pos_all[has, :maxp] = data.user_pos[safe[has]]
+        if maxp and len(data.unique_users):
+            present = np.zeros(num_users, bool)
+            present[data.unique_users] = True
+            pos_all[present, :maxp] = data.user_pos[
+                data.user_row_index()[present]
+            ]
 
         if not hasattr(self, "_topk_all_fn"):
             self._topk_all_fn = jax.jit(

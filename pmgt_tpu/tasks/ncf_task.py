@@ -205,6 +205,11 @@ def check_args(args: TrainArgs) -> None:
         raise ValueError(f"invalid early_criterion {args.early_criterion}")
     if args.model_name not in ("MLP", "GMF", "NeuMF-end", "NeuMF-pre"):
         raise ValueError(f"invalid model_name {args.model_name}")
+    # Without a run to restore, eval/inference would score freshly
+    # initialized params (nothing is trained in these modes). Mirrors
+    # pmgt_task.check_args / reference base_trainer.py:99-110.
+    if args.mode in ("eval", "inference") and args.run_id is None:
+        raise ValueError(f"mode {args.mode} requires --run-id")
     if args.model_name == "NeuMF-pre":
         if not (args.extra.get("gmf_run_id") and args.extra.get("mlp_run_id")):
             raise ValueError("NeuMF-pre requires --gmf-run-id and --mlp-run-id")

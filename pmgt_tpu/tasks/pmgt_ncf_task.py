@@ -108,6 +108,14 @@ class PMGTNCFTask(ServingTopKMixin):
         self.test_data = test_data
         self.trial = trial
         self.mesh = make_mesh(args.num_devices)
+        # Fail fast at init: a non-divisible batch would otherwise error
+        # mid-epoch inside device_put (batch-dim sharding needs equal
+        # shards per device). Mirrors InteractionTaskBase's check.
+        if args.train_batch_size % self.mesh.size:
+            raise ValueError(
+                f"train_batch_size {args.train_batch_size} must be "
+                f"divisible by mesh size {self.mesh.size}"
+            )
         self._batch_sharding = batch_sharding(self.mesh)
         self._replicated = replicated(self.mesh)
         self.num_ng = args.extra.get("num_ng", 1)
@@ -188,6 +196,7 @@ class PMGTNCFTask(ServingTopKMixin):
             )
         )
         self._ctx_cache = None
+        self._eval_ctx_cache = None
         self._train_step_fn = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._rank_fn = jax.jit(self._rank_impl)
         self._eval_fn = jax.jit(self._eval_impl)
@@ -224,6 +233,25 @@ class PMGTNCFTask(ServingTopKMixin):
     def _item_seqs(self, items, ctx):
         nodes = self.item_to_node[items]
         return ctx[0][nodes], ctx[1][nodes]
+
+    def _get_eval_ctx(self):
+        """Deterministic per-run context draw for evaluation/serving —
+        independent of the training schedule, so val metrics are a pure
+        function of the params. Evaluating with ``self._ctx_cache``
+        would read whatever epoch the engine last STARTED: its
+        pipelined scan mode speculatively dispatches epoch k+1 (and
+        with it on_epoch_start(k+1)) before evaluating epoch k, which
+        would silently score epoch k's params under epoch k+1's
+        contexts — and leave the final, non-speculated epoch scored
+        under its own. A fixed-seed draw makes every eval (and a
+        restored checkpoint's serving export) consistent."""
+        if self._eval_ctx_cache is None:
+            self._eval_ctx_cache = self._sample_all_fn(
+                self.graph,
+                self._all_nodes,
+                jax.random.key(np.uint32(self.args.seed * 99_991)),
+            )
+        return self._eval_ctx_cache
 
     def _serving_logits(self, params, users2d, items2d, extras):
         """ServingTopKMixin scorer: items go through the PMGT encoder
@@ -382,9 +410,7 @@ class PMGTNCFTask(ServingTopKMixin):
     def evaluate(self, state, split: str = "valid") -> Dict[str, float]:
         params = state.params if isinstance(state, TrainState) else state
         data = self.valid_data if split == "valid" else self.test_data
-        if self._ctx_cache is None:
-            self.on_epoch_start(0)
-        ctx = self._ctx_cache
+        ctx = self._get_eval_ctx()
         if split not in self._eval_cache:
             key = jax.random.key(
                 np.uint32(self.args.seed * 17 + (split == "test"))
@@ -444,6 +470,11 @@ def check_args(args: TrainArgs) -> None:
         raise ValueError(f"invalid early_criterion {args.early_criterion}")
     if args.model_name not in ("MLP", "NeuMF-end"):
         raise ValueError(f"invalid model_name {args.model_name}")
+    # Without a run to restore, eval/inference would score freshly
+    # initialized params (nothing is trained in these modes). Mirrors
+    # pmgt_task.check_args / reference base_trainer.py:99-110.
+    if args.mode in ("eval", "inference") and args.run_id is None:
+        raise ValueError(f"mode {args.mode} requires --run-id")
 
 
 def init_run(args: TrainArgs) -> None:
@@ -522,8 +553,6 @@ def inference(args: TrainArgs, ctx: Dict[str, Any], registry, run):
             jax.tree.map(jnp.asarray, payload["state"]["params"]),
             task.state.opt_state,
         )
-    if task._ctx_cache is None:
-        task.on_epoch_start(0)
     out = task.export_topk(
         task.state.params,
         k=int(args.extra.get("topk", TOPK)),
@@ -532,7 +561,7 @@ def inference(args: TrainArgs, ctx: Dict[str, Any], registry, run):
         user_batch=int(args.extra.get("serve_user_batch", 64)),
         item_chunk=int(args.extra.get("serve_item_chunk", 1024)),
         exclude_train=not args.extra.get("include_seen_items", False),
-        extras=(task.feat_tables, task._ctx_cache),
+        extras=(task.feat_tables, task._get_eval_ctx()),
     )
     if args.inference_result_path:
         np.savez(args.inference_result_path, **out)

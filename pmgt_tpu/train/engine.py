@@ -176,6 +176,16 @@ def fit(
     monitor = f"val/{early_criterion}"
     mode = criterion_mode(early_criterion)
     swa = SWAAverager() if swa_start is not None else None
+    if swa is not None and eval_interval > 1:
+        # Grouped dispatch only materializes the state at group ends, so
+        # the average covers every eval_interval-th epoch's params, not
+        # every epoch's — a different (coarser) SWA than eval_interval=1.
+        logger.warning(
+            "swa_start with eval_interval=%d averages only group-end "
+            "params (every %d epochs), not every epoch",
+            eval_interval,
+            eval_interval,
+        )
 
     if registry is not None and run is not None:
         # Clear any stale INTERRUPTED/FAILED status from a previous
@@ -255,6 +265,7 @@ def fit(
         return st, outs
 
     spec = None  # (state_after, losses_device, size) for the current group
+    eval_count = 0  # evaluation points seen (ckpt_interval is keyed on these)
     try:
         e0 = start_epoch
         while e0 < num_epochs:
@@ -340,6 +351,7 @@ def fit(
             )
 
             val_metrics = task.evaluate(state, "valid")
+            eval_count += 1
             elapsed = time.time() - epoch_start
             # loss/train is the TRUE epoch mean; the trailing-100-step mean
             # (closer to the end-of-epoch operating point) is logged
@@ -400,7 +412,11 @@ def fit(
                         "has_best": True,
                     },
                 }
-                do_last = stopping or (epoch + 1) % ckpt_interval == 0
+                # Keyed on evaluation points, not absolute epochs: with
+                # eval_interval=2 the eval epochs are 1,3,5,... and an
+                # absolute (epoch+1) % k test would fire at every one of
+                # them for even k (or at irregular cadences otherwise).
+                do_last = stopping or eval_count % ckpt_interval == 0
                 if (do_last or improved) and jax.process_count() == 1:
                     # ONE device->host fetch shared by the `last` and
                     # `best` saves: orbax's per-save d2h copy is the

@@ -190,3 +190,27 @@ def test_runs_command_lists_and_details(tmp_path):
     assert result.exit_code == 0, result.output
     assert "model_name = GMF" in result.output
     assert "val/loss = 0.5" in result.output
+
+
+def test_downstream_eval_inference_require_run_id():
+    """eval/inference without --run-id would score freshly initialized
+    params (nothing trains in those modes) — every downstream workload
+    fails loudly, mirroring pmgt_task.check_args."""
+    import pytest
+
+    from pmgt_tpu.core.config import TrainArgs
+    from pmgt_tpu.tasks import dcn_task, ncf_task, pmgt_ncf_task
+
+    for mod, model_name in (
+        (ncf_task, "NeuMF-end"),
+        (dcn_task, "DCN"),
+        (pmgt_ncf_task, "NeuMF-end"),
+    ):
+        for mode in ("eval", "inference"):
+            crit = "auc" if model_name == "DCN" else "n20"
+            args = TrainArgs(
+                model_name=model_name, dataset_name="x", mode=mode,
+                early_criterion=crit,
+            )
+            with pytest.raises(ValueError, match="requires --run-id"):
+                mod.check_args(args)

@@ -376,3 +376,39 @@ def test_ckpt_interval_validation():
             task, num_epochs=1, early=1, early_criterion="auc",
             ckpt_interval=0,
         )
+
+
+def test_ckpt_interval_counts_eval_points_not_epochs(tmp_path, monkeypatch):
+    """With eval_interval=2 the eval epochs are 1,3,5,...; an absolute
+    (epoch+1) % 2 test would fire at EVERY eval point. ckpt_interval must
+    count evaluation points instead: every 2nd eval plus the stop."""
+    from pmgt_tpu.train import engine as eng
+
+    calls = []
+    real_save = eng.save_checkpoint
+
+    def spy(path, payload, block=True):
+        calls.append(os.path.basename(path))
+        return real_save(path, payload, block=block)
+
+    monkeypatch.setattr(eng, "save_checkpoint", spy)
+
+    registry = RunRegistry(str(tmp_path / "logs"))
+    run = registry.create_run("exp", {})
+    # monotonically worsening so `best` saves only once (epoch 1's eval)
+    task = FakeTask([0.9, 0.8, 0.7, 0.6])
+    engine.fit(
+        task,
+        num_epochs=8,
+        early=10,
+        early_criterion="auc",
+        registry=registry,
+        run=run,
+        log_every=0,
+        eval_interval=2,
+        ckpt_interval=2,
+    )
+    # 4 eval points (epochs 1,3,5,7); last at eval points 2 and 4
+    # (epochs 3 and 7 — point 4 is also the stop)
+    assert task.evals == 4
+    assert calls.count("last") == 2

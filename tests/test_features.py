@@ -282,3 +282,45 @@ def test_pmgt_ncf_task_end_to_end(tmp_path):
     import os
 
     assert os.path.exists(args.inference_result_path)
+
+
+def test_pmgt_ncf_eval_independent_of_train_ctx(tmp_path):
+    """evaluate() must be a pure function of the params: the engine's
+    pipelined scan mode calls on_epoch_start(k+1) BEFORE evaluating
+    epoch k, so an eval that read the train ctx cache would score under
+    next epoch's contexts (and the final epoch under its own)."""
+    from pmgt_tpu.tasks import pmgt_ncf_task
+    from pmgt_tpu.tasks.pmgt_ncf_task import PMGTNCFTask
+    from pmgt_tpu.data.interactions import InteractionData, train_valid_split
+
+    art = make_synthetic_dataset(
+        num_nodes=40, num_users=30, feat_dims=(12, 8), avg_degree=6, seed=9
+    )
+    args = TrainArgs(
+        model_name="NeuMF-end", dataset_name="SYN", seed=0,
+        train_batch_size=32, test_batch_size=64, valid_size=0.2,
+        early_criterion="n20",
+        log_dir=str(tmp_path / "logs"),
+        extra=dict(
+            factor_num=8, num_layers=2, num_ng=1, max_sample_items=20,
+            hidden_size=8, intermediate_size=8, num_hidden_layers=1,
+            hop_sampling_sizes=(3, 2), max_ctx_neigh=3,
+        ),
+    )
+    train_pairs, valid_pairs = train_valid_split(
+        art.train_pairs, args.valid_size, args.seed
+    )
+    nu, ni = art.num_users, art.num_items
+    task = PMGTNCFTask(
+        args,
+        art,
+        InteractionData.build(train_pairs, nu, ni),
+        InteractionData.build(valid_pairs, nu, ni),
+        InteractionData.build(art.test_pairs, nu, ni),
+    )
+    m0 = task.evaluate(task.state, "valid")
+    task.on_epoch_start(0)
+    m1 = task.evaluate(task.state, "valid")
+    task.on_epoch_start(1)
+    m2 = task.evaluate(task.state, "valid")
+    assert m0 == m1 == m2
