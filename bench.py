@@ -308,7 +308,12 @@ def main():
             print(f"exact-mode measurement failed: {e}", file=sys.stderr)
 
     if args.skip_baseline:
+        # Skip *measuring*, but still report against a cached baseline —
+        # vs_baseline=1.0 would misread as parity rather than "unknown".
         baseline = None
+        if os.path.exists(BASELINE_CACHE):
+            with open(BASELINE_CACHE, encoding="utf-8") as f:
+                baseline = json.load(f)
     else:
         try:
             baseline = measure_baseline(art)
