@@ -227,14 +227,25 @@ def measure_sampler_only_baseline(art, n_targets: int = 48) -> float:
     return n_targets / (time.time() - t0)
 
 
+def _load_baseline_cache():
+    """Validated cache read; None on missing/corrupt/old-format files
+    (a cache problem must not kill the bench after the TPU measurement)."""
+    try:
+        with open(BASELINE_CACHE, encoding="utf-8") as f:
+            cached = json.load(f)
+        if "sampler_only_nodes_per_sec" in cached and "nodes_per_sec" in cached:
+            return cached
+    except (OSError, ValueError):
+        pass
+    return None
+
+
 def measure_baseline(art) -> dict:
     """Reference-equivalent torch pipeline + sampler-only ceiling,
     cached across rounds."""
-    if os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE, encoding="utf-8") as f:
-            cached = json.load(f)
-        if "sampler_only_nodes_per_sec" in cached:
-            return cached
+    cached = _load_baseline_cache()
+    if cached is not None:
+        return cached
     from pmgt_tpu.bench.torch_reference import run_reference_baseline
 
     graph3 = (
@@ -310,10 +321,7 @@ def main():
     if args.skip_baseline:
         # Skip *measuring*, but still report against a cached baseline —
         # vs_baseline=1.0 would misread as parity rather than "unknown".
-        baseline = None
-        if os.path.exists(BASELINE_CACHE):
-            with open(BASELINE_CACHE, encoding="utf-8") as f:
-                baseline = json.load(f)
+        baseline = _load_baseline_cache()
     else:
         try:
             baseline = measure_baseline(art)

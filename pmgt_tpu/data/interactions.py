@@ -46,6 +46,19 @@ class InteractionData(NamedTuple):
     ) -> "InteractionData":
         pairs = np.asarray(pairs, np.int32).reshape(-1, 2)
         if len(pairs):
+            # Loud on malformed artifacts: out-of-range ids would
+            # otherwise surface as wrapped gathers or IndexErrors deep
+            # inside sampling/serving.
+            if pairs[:, 0].min() < 0 or pairs[:, 0].max() >= num_users:
+                raise ValueError(
+                    f"user ids in [{pairs[:, 0].min()}, {pairs[:, 0].max()}] "
+                    f"outside [0, {num_users})"
+                )
+            if pairs[:, 1].min() < 0 or pairs[:, 1].max() >= num_items:
+                raise ValueError(
+                    f"item ids in [{pairs[:, 1].min()}, {pairs[:, 1].max()}] "
+                    f"outside [0, {num_items})"
+                )
             # One O(M log M) lexsort; per-user slices come from the sorted
             # run boundaries (no per-user rescans of the pair list).
             order = np.lexsort((pairs[:, 1], pairs[:, 0]))

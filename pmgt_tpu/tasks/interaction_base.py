@@ -185,11 +185,9 @@ class ServingTopKMixin:
         all_users = np.arange(num_users, dtype=np.int32)
         pos_all = np.full((num_users, max(maxp, 1)), num_items, np.int32)
         if maxp and len(data.unique_users):
-            present = np.zeros(num_users, bool)
-            present[data.unique_users] = True
-            pos_all[present, :maxp] = data.user_pos[
-                data.user_row_index()[present]
-            ]
+            # user_pos rows are in sorted unique_users order, so this is
+            # the whole user -> positives-row mapping in one scatter.
+            pos_all[data.unique_users, :maxp] = data.user_pos
 
         if not hasattr(self, "_topk_all_fn"):
             self._topk_all_fn = jax.jit(

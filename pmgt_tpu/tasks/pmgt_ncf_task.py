@@ -246,10 +246,16 @@ class PMGTNCFTask(ServingTopKMixin):
         under its own. A fixed-seed draw makes every eval (and a
         restored checkpoint's serving export) consistent."""
         if self._eval_ctx_cache is None:
+            # fold_in (a hash, not an additive offset) keeps this stream
+            # distinct from every training epoch's key(seed*55_001+epoch)
+            # for ALL seeds/epochs — at seed=0 a bare seed*99_991 would
+            # collide with epoch 0's draw.
             self._eval_ctx_cache = self._sample_all_fn(
                 self.graph,
                 self._all_nodes,
-                jax.random.key(np.uint32(self.args.seed * 99_991)),
+                jax.random.fold_in(
+                    jax.random.key(np.uint32(self.args.seed)), 0xE7A1
+                ),
             )
         return self._eval_ctx_cache
 

@@ -162,10 +162,11 @@ def fit(
     logged for every epoch.
 
     ``ckpt_interval=k`` saves the resumable ``last`` checkpoint only at
-    evaluation epochs where ``(epoch + 1) % k == 0`` — plus ALWAYS when
-    the run stops (final epoch, early stop, pruning, preemption), so a
-    resume never loses more than k epochs and a finished run is always
-    resumable from its end. The metric-keyed ``best`` checkpoint is
+    every k-th evaluation point of this run (so up to
+    ``k * eval_interval`` epochs of work sit between ``last`` saves, and
+    the cadence restarts after a resume) — plus ALWAYS when the run
+    stops (final epoch, early stop, pruning, preemption), so a finished
+    run is always resumable from its end. The metric-keyed ``best`` checkpoint is
     unaffected (the reference's Lightning contract,
     base_trainer.py:283-298, keys retention on the monitor only). Useful
     when the state is large relative to checkpoint bandwidth."""
