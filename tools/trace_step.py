@@ -47,14 +47,18 @@ def build_task(batch):
     return PMGTTask(args, art, nodes, nodes[:batch])
 
 
-def run_traced(task, batch, steps, trace_dir, fwd_bwd_only=False):
+def run_traced(task, batch, steps, trace_dir, fwd_bwd_only=False,
+               exact=False):
     import jax
     import jax.numpy as jnp
     from jax import flatten_util
 
     from pmgt_tpu.sampling.pairs import make_pretrain_batch_cached
 
-    ctx = task._get_ctx(("train", 0))
+    # exact mode: per-occurrence context/pair sampling INSIDE the step
+    # (ctx_cache=False semantics) — trace where its ~2x cost vs the
+    # cached step goes.
+    ctx = None if exact else task._get_ctx(("train", 0))
     targets = jnp.arange(2, 2 + batch, dtype=jnp.int32)
     scfg = task.sampling
     graph = task.graph
@@ -190,6 +194,9 @@ def main():
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--fwd-bwd-only", action="store_true")
+    p.add_argument("--exact", action="store_true",
+                   help="trace the exact per-occurrence sampling step "
+                   "(ctx_cache=False semantics; in-step ctx/pair draws)")
     p.add_argument("--trace-dir", default="/tmp/pmgt_trace")
     p.add_argument("--out", default=None)
     p.add_argument("--parse-only", action="store_true",
@@ -197,10 +204,12 @@ def main():
     args = p.parse_args()
 
     if not args.parse_only:
+        if args.exact and args.fwd_bwd_only:
+            raise SystemExit("--exact and --fwd-bwd-only are exclusive")
         task = build_task(args.batch)
         run_traced(
             task, args.batch, args.steps, args.trace_dir,
-            fwd_bwd_only=args.fwd_bwd_only,
+            fwd_bwd_only=args.fwd_bwd_only, exact=args.exact,
         )
     result = parse_xplane(args.trace_dir, args.steps)
     text = json.dumps(result, indent=2)
