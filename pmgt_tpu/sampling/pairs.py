@@ -30,6 +30,12 @@ from pmgt_tpu.core.config import SamplingConfig
 from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
 from pmgt_tpu.sampling.mcn import complement_rank_select, sample_context
 
+# Node-chunk size for whole-graph refresh programs: bounds the wavefront
+# row-gather intermediate ([chunk * prod(hops[:-1]), max_deg] in
+# _alias_draw) that OOMs HBM when drawn for every node at once (measured
+# 20.5 GB at 1M nodes).
+REFRESH_CHUNK = 65_536
+
 
 class PretrainBatch(NamedTuple):
     """One fused PMGT pretraining batch (all fixed shapes).
@@ -195,7 +201,30 @@ def sample_all_contexts(
     """
     if all_nodes is None:
         all_nodes = jnp.arange(num_total, dtype=jnp.int32)
-    ids, mask = sample_context(graph, all_nodes, key, cfg)
+    if num_total > REFRESH_CHUNK:
+        # Beyond ~10^5 nodes the all-at-once wavefront row-gather
+        # intermediate ([N * prod(hops[:-1]), max_deg] inside
+        # _alias_draw) exceeds HBM — measured 20.5 GB at 1M nodes /
+        # 38 max_deg. lax.map over fixed node chunks bounds it while
+        # staying ONE dispatch; below the threshold the single-shot
+        # path is kept so existing streams stay bit-identical.
+        c = -(-num_total // REFRESH_CHUNK)
+        pad = c * REFRESH_CHUNK - num_total
+        nodes_p = jnp.concatenate(
+            [all_nodes, jnp.zeros((pad,), jnp.int32)]
+        ).reshape(c, REFRESH_CHUNK)
+        keys = jax.random.split(key, c)
+
+        def one(args_):
+            nodes_c, k = args_
+            return sample_context(graph, nodes_c, k, cfg)
+
+        ids, mask = jax.lax.map(one, (nodes_p, keys))
+        s = ids.shape[-1]
+        ids = ids.reshape(c * REFRESH_CHUNK, s)[:num_total]
+        mask = mask.reshape(c * REFRESH_CHUNK, s)[:num_total]
+    else:
+        ids, mask = sample_context(graph, all_nodes, key, cfg)
     # Special rows: context-free (target-only mask).
     special = jnp.zeros((NUM_SPECIAL_NODES, ids.shape[1] - 1), jnp.int32)
     ids = ids.at[:NUM_SPECIAL_NODES, 1:].set(special)
@@ -251,22 +280,27 @@ def sample_all_pairs(
     [N_total, P]. Same refresh rate as the reference (each node is a
     target once per epoch and re-draws its pairs then,
     reference datasets.py:113-165)."""
-    p = cfg.max_total_samples if is_training else 2
-    outs = []
     n_chunks = (num_total + chunk_size - 1) // chunk_size
     keys = jax.random.split(key, n_chunks)
-    for c in range(n_chunks):
-        start = c * chunk_size
-        size = min(chunk_size, num_total - start)
-        chunk = jnp.arange(start, start + size, dtype=jnp.int32)
-        if size < chunk_size:  # keep one compiled shape
-            chunk = jnp.pad(chunk, (0, chunk_size - size))
-        outs.append(
-            sample_pairs(graph, chunk, keys[c], cfg, is_training)
-        )
-    nodes = jnp.concatenate([o[0] for o in outs])[:num_total]
-    labels = jnp.concatenate([o[1] for o in outs])[:num_total]
-    valid = jnp.concatenate([o[2] for o in outs])[:num_total]
+    # lax.map rather than an unrolled Python loop: bit-identical (same
+    # chunking, same per-chunk keys) but the HLO stays constant-size in
+    # the graph (489 unrolled sample_pairs bodies at 1M nodes otherwise)
+    # and the chunk ids enter as traced values — the gather fast path
+    # (see sample_all_contexts' docstring).
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
+    offsets = jnp.arange(chunk_size, dtype=jnp.int32)
+
+    def one(args_):
+        start, k = args_
+        return sample_pairs(graph, start + offsets, k, cfg, is_training)
+
+    nodes_c, labels_c, valid_c = jax.lax.map(one, (starts, keys))
+    nodes = nodes_c.reshape((n_chunks * chunk_size,) + nodes_c.shape[2:])
+    labels = labels_c.reshape((n_chunks * chunk_size,) + labels_c.shape[2:])
+    valid = valid_c.reshape((n_chunks * chunk_size,) + valid_c.shape[2:])
+    nodes, labels, valid = (
+        nodes[:num_total], labels[:num_total], valid[:num_total]
+    )
     # Special rows (<pad>/<mask>) should never be targets; mask them out.
     valid = valid.at[:NUM_SPECIAL_NODES].set(0.0)
     return nodes, labels, valid
