@@ -300,6 +300,15 @@ def train_dcn(ctx: click.Context, **raw_args):
     "collectives)",
 )
 @click.option(
+    "--fusion-strategy",
+    type=click.Choice(["auto", "project_tables", "gather_rows"]),
+    default="auto",
+    help="multimodal-fusion dataflow (identical math): project the whole "
+    "frozen table then gather compact rows, or gather raw rows and "
+    "project those; auto picks by node count (full-table reads dominate "
+    "the step on huge graphs)",
+)
+@click.option(
     "--feat-tables-dtype",
     type=click.Choice(["float32", "bfloat16"]),
     default=None,
@@ -337,6 +346,12 @@ def train_pmgt(ctx: click.Context, **raw_args):
 @click.option("--beta", type=click.FLOAT, default=0.5)
 @click.option(
     "--attention-impl", type=click.Choice(["xla", "pallas"]), default=None
+)
+@click.option(
+    "--fusion-strategy",
+    type=click.Choice(["auto", "project_tables", "gather_rows"]),
+    default="auto",
+    help="multimodal-fusion dataflow; auto picks by node count",
 )
 @click.option("--topk", type=click.INT, default=100,
               help="inference mode: items per user in the serving export")

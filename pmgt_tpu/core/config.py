@@ -23,6 +23,29 @@ def _freeze(value: Any) -> Any:
     return value
 
 
+FUSION_AUTO_THRESHOLD = 50_000
+
+
+def resolve_fusion_strategy(requested: Optional[str], num_nodes: int) -> str:
+    """Resolve "auto" by node count: below FUSION_AUTO_THRESHOLD the
+    per-step full-table read is small and project-then-gather wins
+    (measured +17x gather-bandwidth relief at TG scale); above it the
+    table read scales with N and dominates the step (measured 42 vs
+    12 ms/step at 1M nodes), so gather-then-project wins."""
+    if requested in (None, "auto"):
+        return (
+            "gather_rows"
+            if num_nodes > FUSION_AUTO_THRESHOLD
+            else "project_tables"
+        )
+    if requested not in ("project_tables", "gather_rows"):
+        raise ValueError(
+            f"fusion_strategy must be auto|project_tables|gather_rows, "
+            f"got {requested!r}"
+        )
+    return requested
+
+
 @dataclass(frozen=True)
 class PMGTConfig:
     """PMGT encoder hyperparameters (reference configuration_pmgt.py:13-41)."""
@@ -50,6 +73,15 @@ class PMGTConfig:
     # Set after head pruning, when heads*head_dim < hidden_size (the
     # reference's shrunken all_head_size, modeling_pmgt.py:352-355).
     head_dim_override: Optional[int] = None
+    # Multimodal-fusion dataflow (identical math; gather and linear
+    # projection commute): "project_tables" projects the whole frozen
+    # table per step and gathers compact [N+2, H] rows (~17x less gather
+    # bandwidth — wins while the table read is small); "gather_rows"
+    # gathers raw [.., 1536/768] rows and projects only those (wins on
+    # huge graphs where the per-step full-table read dominates; the
+    # fwd+bwd table read is ~9 GB/step at 1M nodes). Tasks resolve
+    # "auto" by node count (FUSION_AUTO_THRESHOLD).
+    fusion_strategy: str = "project_tables"
 
     def __post_init__(self):
         object.__setattr__(

@@ -593,10 +593,16 @@ class PMGTForPreTraining(nn.Module):
     ) -> Array:
         """Encoder pass over [B, S] node-id sequences → [B, S, H].
 
-        Projects the frozen tables to hidden size first and gathers the
-        compact projected rows — identical math to gather-then-project,
-        ~17x less HBM gather traffic at 1536/768-d features.
+        fusion_strategy picks the (math-identical) dataflow: project the
+        whole table then gather compact [N+2, H] rows, or gather raw
+        rows and project only those — see PMGTConfig.fusion_strategy.
         """
+        if self.config.fusion_strategy == "gather_rows":
+            feat_embeds = [jnp.asarray(t)[node_ids] for t in feat_tables]
+            hidden, _ = self.bert(
+                feat_embeds, attention_mask, deterministic, projected=False
+            )
+            return hidden
         proj_tables = self.bert.project_tables(feat_tables)
         feat_embeds = [t[node_ids] for t in proj_tables]
         hidden, _ = self.bert(

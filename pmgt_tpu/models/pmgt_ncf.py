@@ -77,11 +77,19 @@ class PMGT_NCF(nn.Module):
         item: Array = None,  # [B] raw item ids (GMF branch, NeuMF-end only)
         deterministic: bool = True,
     ) -> Array:
-        proj_tables = self.bert.project_tables(feat_tables)
-        feat_embeds = [t[item_node_ids] for t in proj_tables]
-        hidden, _ = self.bert(
-            feat_embeds, item_attention_mask, deterministic, projected=True
-        )
+        if self.config.fusion_strategy == "gather_rows":
+            feat_embeds = [jnp.asarray(t)[item_node_ids] for t in feat_tables]
+            hidden, _ = self.bert(
+                feat_embeds, item_attention_mask, deterministic,
+                projected=False,
+            )
+        else:
+            proj_tables = self.bert.project_tables(feat_tables)
+            feat_embeds = [t[item_node_ids] for t in proj_tables]
+            hidden, _ = self.bert(
+                feat_embeds, item_attention_mask, deterministic,
+                projected=True,
+            )
         item_embeds = hidden[:, 0]  # CLS
 
         x = jnp.concatenate(

@@ -22,7 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from pmgt_tpu.core.config import PMGTConfig, SamplingConfig, TrainArgs
+from pmgt_tpu.core.config import (
+    PMGTConfig,
+    SamplingConfig,
+    TrainArgs,
+    resolve_fusion_strategy,
+)
 from pmgt_tpu.core.mesh import (
     batch_sharding,
     gather_to_host,
@@ -131,6 +136,9 @@ class PMGTNCFTask(ServingTopKMixin):
             beta=e.get("beta", 0.5),
             attention_impl=e.get("attention_impl") or _default_attention_impl(),
             dtype="bfloat16" if args.mp_enabled else "float32",
+            fusion_strategy=resolve_fusion_strategy(
+                e.get("fusion_strategy"), artifacts.num_nodes
+            ),
         )
         self.sampling = SamplingConfig(
             max_ctx_neigh=e.get("max_ctx_neigh", 5),

@@ -23,7 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from pmgt_tpu.core.config import PMGTConfig, SamplingConfig, TrainArgs
+from pmgt_tpu.core.config import (
+    PMGTConfig,
+    SamplingConfig,
+    TrainArgs,
+    resolve_fusion_strategy,
+)
 from pmgt_tpu.core.mesh import (
     batch_sharding,
     gather_to_host,
@@ -121,6 +126,9 @@ class PMGTTask:
             attention_impl=args.extra.get("attention_impl") or _default_attention_impl(),
             dtype="bfloat16" if args.mp_enabled else "float32",
             gradient_checkpointing=args.extra.get("gradient_checkpointing", False),
+            fusion_strategy=resolve_fusion_strategy(
+                args.extra.get("fusion_strategy"), artifacts.num_nodes
+            ),
         )
         self.sampling = SamplingConfig(
             max_ctx_neigh=args.extra.get("max_ctx_neigh", 5),

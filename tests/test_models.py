@@ -288,6 +288,106 @@ def test_dcn_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_resolve_fusion_strategy():
+    from pmgt_tpu.core.config import (
+        FUSION_AUTO_THRESHOLD,
+        resolve_fusion_strategy,
+    )
+
+    assert resolve_fusion_strategy(None, 1000) == "project_tables"
+    assert resolve_fusion_strategy("auto", 1000) == "project_tables"
+    assert (
+        resolve_fusion_strategy("auto", FUSION_AUTO_THRESHOLD + 1)
+        == "gather_rows"
+    )
+    # explicit choice always wins over the node count
+    assert (
+        resolve_fusion_strategy("project_tables", FUSION_AUTO_THRESHOLD + 1)
+        == "project_tables"
+    )
+    assert resolve_fusion_strategy("gather_rows", 10) == "gather_rows"
+    with pytest.raises(ValueError):
+        resolve_fusion_strategy("bogus", 10)
+
+
+def test_fusion_strategy_parity_pretrain():
+    """gather_rows and project_tables are the same math on different
+    dataflows (gather and linear projection commute); the full pretrain
+    forward must agree between them with shared params."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    batch = _tiny_batch()
+    tables = _tables(rng)
+    cfg_proj = dataclasses.replace(CFG, fusion_strategy="project_tables")
+    cfg_gather = dataclasses.replace(CFG, fusion_strategy="gather_rows")
+
+    model_proj = PMGTForPreTraining(config=cfg_proj, node_size=8)
+    model_gather = PMGTForPreTraining(config=cfg_gather, node_size=8)
+    rngs = {
+        "params": jax.random.key(0),
+        "dropout": jax.random.key(1),
+        "corruption": jax.random.key(2),
+    }
+    # identical module tree -> identical params; init once, apply both
+    params = model_proj.init(rngs, tables, batch, deterministic=False)
+    apply_rngs = {"corruption": jax.random.key(5)}
+    out_p = model_proj.apply(
+        params, tables, batch, deterministic=True, rngs=apply_rngs
+    )
+    out_g = model_gather.apply(
+        params, tables, batch, deterministic=True, rngs=apply_rngs
+    )
+    np.testing.assert_allclose(
+        float(out_p.loss), float(out_g.loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p.logits), np.asarray(out_g.logits),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p.target_cls), np.asarray(out_g.target_cls),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_fusion_strategy_parity_pmgt_ncf():
+    import dataclasses
+
+    from pmgt_tpu.models.pmgt_ncf import PMGT_NCF
+
+    item_num, s = 10, 4
+    rng = np.random.default_rng(8)
+    tables = [
+        jnp.asarray(rng.normal(size=(item_num + 2, d)).astype(np.float32))
+        for d in CFG.feat_hidden_sizes
+    ]
+    user = jnp.asarray([0, 1, 2], jnp.int32)
+    seqs = jnp.asarray(rng.integers(2, item_num + 2, (3, s)), jnp.int32)
+    mask = jnp.ones((3, s), jnp.float32)
+    item = jnp.asarray([3, 4, 5], jnp.int32)
+
+    def build(strategy):
+        return PMGT_NCF(
+            user_num=5,
+            item_num=item_num,
+            config=dataclasses.replace(CFG, fusion_strategy=strategy),
+            factor_num=4,
+            num_layers=2,
+            model="NeuMF-end",
+        )
+
+    m_proj, m_gather = build("project_tables"), build("gather_rows")
+    params = m_proj.init(
+        {"params": jax.random.key(0)}, tables, user, seqs, mask, item=item
+    )
+    out_p = m_proj.apply(params, tables, user, seqs, mask, item=item)
+    out_g = m_gather.apply(params, tables, user, seqs, mask, item=item)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_g), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_pmgt_ncf_gmf_uses_raw_item_id_not_wrapped_node_id():
     """Graph-absent items map to node id 0 (<pad>); the reference derives
     the GMF index as node_id - 2, which JAX would wrap to item_num - 2 —
