@@ -103,11 +103,16 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--n", type=int, default=30)
+    ap.add_argument("--num-nodes", type=int, default=10834,
+                    help="graph size (default: TG scale; use e.g. 100000 "
+                    "to A/B levers whose effect scales with N, like "
+                    "fusion_strategy)")
+    ap.add_argument("--avg-degree", type=int, default=16)
     args = ap.parse_args()
 
     art = make_synthetic_dataset(
-        num_nodes=10834, num_users=100, feat_dims=(1536, 768),
-        interactions_per_user=2, avg_degree=16, seed=0,
+        num_nodes=args.num_nodes, num_users=100, feat_dims=(1536, 768),
+        interactions_per_user=2, avg_degree=args.avg_degree, seed=0,
     )
     variants = {"A": {}, "B": _parse_extra(args.b)}
     key = jax.random.key(9)
