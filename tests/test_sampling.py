@@ -180,3 +180,66 @@ def test_negatives_on_dense_graph():
         assert valid.all()
         negs = nodes[labels == 0.0]
         assert set(negs.tolist()) <= legal, set(negs.tolist()) - legal
+
+
+def test_chunked_refresh_structural_invariants(small_graph, monkeypatch):
+    """The >REFRESH_CHUNK whole-graph refresh path (lax.map over node
+    chunks, sampling/pairs.py) is normally only reachable at 10^5+ nodes;
+    force it small and assert it produces the same structural contract as
+    the single-shot path: target-first rows, valid context ids, special
+    rows context-free, deterministic per key."""
+    from pmgt_tpu.sampling import pairs as pairs_mod
+    from pmgt_tpu.sampling.pairs import sample_all_contexts
+
+    n_total = small_graph.num_total  # 52: forces 4 chunks of 16
+    monkeypatch.setattr(pairs_mod, "REFRESH_CHUNK", 16)
+    ids, mask = jax.jit(
+        lambda k: sample_all_contexts(small_graph, k, CFG, n_total)
+    )(jax.random.key(3))
+    assert ids.shape == (n_total, 6) and mask.shape == (n_total, 6)
+    ids_np, mask_np = np.asarray(ids), np.asarray(mask)
+    # Row i's target slot is node i; specials are context-free.
+    np.testing.assert_array_equal(ids_np[:, 0], np.arange(n_total))
+    np.testing.assert_array_equal(mask_np[:2, 1:], 0.0)
+    np.testing.assert_array_equal(ids_np[:2, 1:], 0)
+    # Context slots: padding is id 0, real context ids are >= 2.
+    assert (ids_np[:, 1:][mask_np[:, 1:] == 0] == 0).all()
+    assert (ids_np[:, 1:][mask_np[:, 1:] > 0] >= 2).all()
+    # Deterministic per key; the chunk split changes the stream shape but
+    # not determinism.
+    ids2, _ = sample_all_contexts(
+        small_graph, jax.random.key(3), CFG, n_total
+    )
+    np.testing.assert_array_equal(ids_np, np.asarray(ids2))
+
+
+def test_chunked_pair_tables_non_dividing_chunk(small_graph):
+    """sample_all_pairs with a chunk size that does not divide N: the
+    lax.map pad rows must not leak into real rows, positives must be true
+    neighbors, negatives true non-neighbors, specials masked invalid."""
+    from pmgt_tpu.graph.container import NUM_SPECIAL_NODES
+    from pmgt_tpu.sampling.pairs import sample_all_pairs
+
+    n_total = small_graph.num_total
+    cfg = SamplingConfig()
+    nodes, labels, valid = jax.jit(
+        lambda k: sample_all_pairs(
+            small_graph, k, cfg, n_total, True, chunk_size=7
+        )
+    )(jax.random.key(11))
+    nodes, labels, valid = map(np.asarray, (nodes, labels, valid))
+    assert nodes.shape[0] == n_total
+    assert (valid[:NUM_SPECIAL_NODES] == 0).all()
+    nbr = np.asarray(small_graph.nbr_ids)
+    deg = np.asarray(small_graph.degrees)
+    for t in range(NUM_SPECIAL_NODES, n_total):
+        neigh = set(nbr[t, : deg[t]].tolist())
+        sel = valid[t] > 0
+        pos = nodes[t][(labels[t] == 1.0) & sel]
+        neg = nodes[t][(labels[t] == 0.0) & sel]
+        assert set(pos.tolist()) <= neigh, t
+        # Negatives are the complement of the NEIGHBOR set only — the
+        # target itself is a legal negative, exactly like the reference's
+        # rejection loop (`candidate in self.graph[target]` is False for
+        # the target absent a self-loop, reference datasets.py:173-180).
+        assert not (set(neg.tolist()) & neigh), t

@@ -107,10 +107,14 @@ def test_export_embeddings_multi_device(art):
     assert np.isfinite(emb).all()
 
 
-def test_sharded_feat_tables_parity(art):
+@pytest.mark.parametrize("fusion", ["project_tables", "gather_rows"])
+def test_sharded_feat_tables_parity(art, fusion):
     """--shard-feat-tables: row-sharded frozen tables give numerically
     identical losses to replicated tables (XLA inserts the gather
-    collectives; the jitted step is placement-agnostic)."""
+    collectives; the jitted step is placement-agnostic). Covered for both
+    fusion strategies — sharded tables + gather_rows is the
+    graph-beyond-one-chip's-HBM configuration (the per-step op is a raw-
+    row gather from the row-sharded table)."""
     from pmgt_tpu.core.config import TrainArgs
     from pmgt_tpu.tasks.pmgt_task import PMGTTask
 
@@ -131,6 +135,7 @@ def test_sharded_feat_tables_parity(art):
                 hop_sampling_sizes=(3, 2),
                 max_ctx_neigh=3,
                 shard_feat_tables=shard,
+                fusion_strategy=fusion,
             ),
         )
         nodes = np.arange(2, 42, dtype=np.int32)
