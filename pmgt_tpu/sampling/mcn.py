@@ -37,6 +37,12 @@ from pmgt_tpu.graph.container import (
     PaddedGraph,
 )
 
+# Segment-sort implementation knob, read at trace time: "auto" picks the
+# packed single-operand sort whenever (N+1) << m_bits fits int32 (always,
+# until ~270M nodes at depth 3). "packed" / "variadic" force a path for
+# within-process A/Bs (tools/ab_refresh.py).
+SORT_IMPL = "auto"
+
 
 def _alias_draw(
     graph: PaddedGraph, frontier: jnp.ndarray, num: int, key: jax.Array
@@ -146,11 +152,30 @@ def sample_context(
     )
 
     # ---- segmented scoring over the sorted draw multiset ----
-    # Joint variadic sort carries the weights with the ids — two post-sort
-    # take_along_axis gathers on a [B, 656] array measured 69 ms each on
-    # v5e (bad gather layout); lax.sort does the same work inside the sort
-    # network for ~1.6 ms.
-    sid, sw = jax.lax.sort((ids, ws), dimension=1, num_keys=1)
+    # The weights ride the sort packed into the ids' low bits: hop
+    # weights are tiny ints (<= depth), so ``(id << m_bits) | w`` sorts
+    # by id with ONE unstable single-operand sort. The previous stable
+    # variadic sort((ids, ws), num_keys=1) ran as THREE [B, T] operands
+    # on device — XLA materializes an iota payload for stability — each
+    # with layout copies in and out of the sort custom-call; device
+    # traces showed the sort path at ~9 of the 23 ms TG-scale refresh.
+    # Identical outputs (not just distribution): segment-end positions
+    # depend only on the sorted id order, and segment sums of exact
+    # small-integer f32 weights are invariant to intra-segment order.
+    # (An earlier formulation, argsort + two post-sort take_along_axis
+    # gathers, measured 69 ms per gather on v5e — bad gather layout.)
+    m_bits = depth.bit_length()  # weights fit in [0, depth]
+    n_total = graph.nbr_ids.shape[0]
+    use_packed = (n_total + 1) << m_bits < 2**31
+    if SORT_IMPL != "auto":  # A/B escape hatch (tools/ab_refresh.py)
+        use_packed = SORT_IMPL == "packed" and use_packed
+    if use_packed:
+        packed = (ids << m_bits) | ws.astype(jnp.int32)
+        spacked = jax.lax.sort(packed, dimension=1, is_stable=False)
+        sid = spacked >> m_bits
+        sw = (spacked & ((1 << m_bits) - 1)).astype(jnp.float32)
+    else:  # id<<m_bits would overflow int32 (N ~> 2^31 / 2^m_bits)
+        sid, sw = jax.lax.sort((ids, ws), dimension=1, num_keys=1)
     csum = jnp.cumsum(sw, axis=1)
     ecsum = csum - sw  # exclusive cumsum
 

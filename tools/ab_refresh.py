@@ -1,0 +1,102 @@
+"""Interleaved within-process A/B of the per-epoch whole-graph refresh
+(ctx + pair cache rebuild) on TPU — same methodology as tools/ab_step.py
+(one jitted lax.scan per sample, per-iteration folded keys, one fetched
+scalar, variants alternated A,B,A,B under the same chip weather).
+
+Default comparison: packed single-operand segment sort vs the stable
+variadic sort((ids, ws), num_keys=1) in sampling/mcn.py (bit-identical
+outputs; see the SORT_IMPL knob there).
+
+Usage:
+  python tools/ab_refresh.py [--num-nodes 10834] [--n 20] [--reps 4]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmgt_tpu.core.config import SamplingConfig
+from pmgt_tpu.data.synthetic import make_synthetic_dataset
+from pmgt_tpu.graph.container import PaddedGraph
+from pmgt_tpu.sampling import mcn
+from pmgt_tpu.sampling.pairs import sample_all_contexts, sample_all_pairs
+
+
+def build_runner(cfg, n_total, n):
+    def one_refresh(graph, nodes, key):
+        ids, mask = sample_all_contexts(
+            graph, key, cfg, n_total, all_nodes=nodes
+        )
+        pn, pl, pv = sample_all_pairs(
+            graph, jax.random.fold_in(key, 1), cfg, n_total,
+            is_training=True,
+        )
+        return (
+            jnp.sum(ids) + jnp.sum(pn)
+            + jnp.sum(mask) + jnp.sum(pl) + jnp.sum(pv)
+        ).astype(jnp.float32)
+
+    def run(graph, nodes, key):
+        def body(acc, i):
+            return acc + one_refresh(graph, nodes, jax.random.fold_in(key, i)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+        return acc
+
+    return jax.jit(run)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-nodes", type=int, default=10834)
+    ap.add_argument("--avg-degree", type=int, default=16)
+    ap.add_argument("--n", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=4)
+    args = ap.parse_args()
+
+    art = make_synthetic_dataset(
+        num_nodes=args.num_nodes, num_users=100, feat_dims=(8, 8),
+        interactions_per_user=2, avg_degree=args.avg_degree, seed=0,
+    )
+    graph = PaddedGraph(*(jnp.asarray(a) for a in art.graph))
+    cfg = SamplingConfig()
+    n_total = graph.nbr_ids.shape[0]
+    nodes = jnp.arange(n_total, dtype=jnp.int32)
+    key = jax.random.key(11)
+
+    runners = {}
+    for name, impl in (("A:packed", "packed"), ("B:variadic", "variadic")):
+        mcn.SORT_IMPL = impl
+        fn = build_runner(cfg, n_total, args.n)
+        t0 = time.time()
+        float(fn(graph, nodes, key))  # traces NOW with the knob set
+        print(f"{name}: compiled+warm in {time.time()-t0:.0f}s", flush=True)
+        runners[name] = fn
+    mcn.SORT_IMPL = "auto"
+
+    samples = {n: [] for n in runners}
+    r = 0
+    for rep in range(args.reps):
+        for name, fn in runners.items():
+            r += 1
+            k = jax.random.fold_in(key, 10_000 + r)
+            t0 = time.perf_counter()
+            float(fn(graph, nodes, k))
+            ms = (time.perf_counter() - t0) * 1e3 / args.n
+            samples[name].append(ms)
+            print(f"rep {rep} {name}: {ms:.3f} ms/refresh", flush=True)
+    for name, s in samples.items():
+        print(
+            f"{name}: median {np.median(s):.3f} min {min(s):.3f}"
+            f" ms/refresh over {len(s)} samples"
+        )
+
+
+if __name__ == "__main__":
+    main()

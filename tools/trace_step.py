@@ -25,7 +25,7 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_task(batch):
+def build_task(batch, num_nodes=10834, avg_degree=16):
     import numpy as np
 
     from pmgt_tpu.core.config import TrainArgs
@@ -33,8 +33,8 @@ def build_task(batch):
     from pmgt_tpu.tasks.pmgt_task import PMGTTask
 
     art = make_synthetic_dataset(
-        num_nodes=10834, num_users=100, feat_dims=(1536, 768),
-        interactions_per_user=2, avg_degree=16, seed=0,
+        num_nodes=num_nodes, num_users=100, feat_dims=(1536, 768),
+        interactions_per_user=2, avg_degree=avg_degree, seed=0,
     )
     args = TrainArgs(
         model_name="PMGT", dataset_name="bench", seed=0, num_epochs=1,
@@ -100,6 +100,46 @@ def run_traced(task, batch, steps, trace_dir, fwd_bwd_only=False,
     timed = (task.state, graph, ctx, targets, jax.random.fold_in(key, 77))
     with jax.profiler.trace(trace_dir):
         float(scan_steps(*timed))
+
+
+def run_traced_refresh(task, steps, trace_dir):
+    """Trace the per-epoch ctx+pair cache refresh (one 'step' = one full
+    whole-graph refresh) — the amortized-per-epoch device cost the step
+    trace cannot see."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmgt_tpu.sampling.pairs import sample_all_contexts, sample_all_pairs
+
+    @jax.jit
+    def refresh(graph, nodes, seed):
+        ids, mask = sample_all_contexts(
+            graph, jax.random.key(seed), task.sampling,
+            nodes.shape[0], all_nodes=nodes,
+        )
+        pn, pl, pv = sample_all_pairs(
+            graph, jax.random.fold_in(jax.random.key(seed), 1),
+            task.sampling, nodes.shape[0], is_training=True,
+        )
+        return (
+            jnp.sum(ids) + jnp.sum(pn)
+            + jnp.sum(mask) + jnp.sum(pl) + jnp.sum(pv)
+        ).astype(jnp.float32)
+
+    @jax.jit
+    def scan_refreshes(graph, nodes, seed0):
+        def body(acc, i):
+            return acc + refresh(graph, nodes, seed0 + i), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0.0), jnp.arange(steps, dtype=jnp.uint32)
+        )
+        return acc
+
+    graph, nodes = task.graph, task._all_nodes
+    float(scan_refreshes(graph, nodes, jnp.uint32(5)))  # compile + warm
+    with jax.profiler.trace(trace_dir):
+        float(scan_refreshes(graph, nodes, jnp.uint32(99)))
 
 
 def parse_xplane(trace_dir, steps):
@@ -193,10 +233,17 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--num-nodes", type=int, default=10834,
+                   help="synthetic graph size (default: TG scale)")
+    p.add_argument("--avg-degree", type=int, default=16)
     p.add_argument("--fwd-bwd-only", action="store_true")
     p.add_argument("--exact", action="store_true",
                    help="trace the exact per-occurrence sampling step "
                    "(ctx_cache=False semantics; in-step ctx/pair draws)")
+    p.add_argument("--refresh", action="store_true",
+                   help="trace the per-epoch whole-graph ctx+pair cache "
+                   "refresh instead of the train step (one 'step' = one "
+                   "full refresh)")
     p.add_argument("--trace-dir", default="/tmp/pmgt_trace")
     p.add_argument("--out", default=None)
     p.add_argument("--parse-only", action="store_true",
@@ -206,11 +253,14 @@ def main():
     if not args.parse_only:
         if args.exact and args.fwd_bwd_only:
             raise SystemExit("--exact and --fwd-bwd-only are exclusive")
-        task = build_task(args.batch)
-        run_traced(
-            task, args.batch, args.steps, args.trace_dir,
-            fwd_bwd_only=args.fwd_bwd_only, exact=args.exact,
-        )
+        task = build_task(args.batch, args.num_nodes, args.avg_degree)
+        if args.refresh:
+            run_traced_refresh(task, args.steps, args.trace_dir)
+        else:
+            run_traced(
+                task, args.batch, args.steps, args.trace_dir,
+                fwd_bwd_only=args.fwd_bwd_only, exact=args.exact,
+            )
     result = parse_xplane(args.trace_dir, args.steps)
     text = json.dumps(result, indent=2)
     print(text)
