@@ -100,6 +100,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--b", nargs="+", default=[],
                     help="key=value TrainArgs.extra overrides for variant B")
+    ap.add_argument("--common", nargs="+", default=[],
+                    help="key=value extras applied to BOTH variants "
+                    "(e.g. ctx_cache=0 to A/B in exact mode)")
+    ap.add_argument("--b-sort-impl", default=None,
+                    choices=("packed", "variadic"),
+                    help="force sampling.mcn.SORT_IMPL while tracing "
+                    "variant B (A traces with the default 'auto')")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--n", type=int, default=30)
@@ -114,11 +121,15 @@ def main():
         num_nodes=args.num_nodes, num_users=100, feat_dims=(1536, 768),
         interactions_per_user=2, avg_degree=args.avg_degree, seed=0,
     )
-    variants = {"A": {}, "B": _parse_extra(args.b)}
+    common = _parse_extra(args.common)
+    variants = {"A": dict(common), "B": {**common, **_parse_extra(args.b)}}
     key = jax.random.key(9)
 
     runners = {}
     for name, overrides in variants.items():
+        if args.b_sort_impl:
+            from pmgt_tpu.sampling import mcn
+            mcn.SORT_IMPL = args.b_sort_impl if name == "B" else "auto"
         task = build_task(art, args.batch, overrides)
         ctx = task._get_ctx(("train", 0))
         batch = task.args.train_batch_size
