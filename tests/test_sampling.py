@@ -145,6 +145,32 @@ def test_sampling_is_deterministic_per_key(small_graph):
     assert not np.array_equal(np.asarray(a[0]), np.asarray(c[0]))
 
 
+def test_packed_sort_bit_identical_to_variadic(small_graph):
+    """The packed single-operand segment sort (default) must produce
+    BIT-identical contexts to the stable variadic sort it replaced —
+    the invariant that justified the swap (segment sums of exact
+    small-integer f32 weights are order-invariant within a segment)."""
+    from pmgt_tpu.sampling import mcn
+
+    targets = jnp.arange(2, 34, dtype=jnp.int32)
+    out = {}
+    assert mcn.SORT_IMPL == "auto"
+    try:
+        for impl in ("packed", "variadic"):
+            mcn.SORT_IMPL = impl
+            out[impl] = jax.jit(
+                lambda t, k: sample_context(small_graph, t, k, CFG)
+            )(targets, jax.random.key(7))
+    finally:
+        mcn.SORT_IMPL = "auto"
+    np.testing.assert_array_equal(
+        np.asarray(out["packed"][0]), np.asarray(out["variadic"][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["packed"][1]), np.asarray(out["variadic"][1])
+    )
+
+
 def test_score_ordering_prefers_close_frequent_nodes():
     """Direct neighbors sampled every hop must outrank distant nodes —
     the freq × (depth - k + 1) scoring property (datasets.py:35-40)."""
