@@ -95,6 +95,15 @@ class PMGTConfig:
                 f"hidden_size ({self.hidden_size}) must be a multiple of "
                 f"num_attention_heads ({self.num_attention_heads})"
             )
+        if self.fusion_strategy not in ("project_tables", "gather_rows"):
+            # "auto" must be resolved (resolve_fusion_strategy) before the
+            # model config is built — model code branches on == so an
+            # unknown value would silently run project_tables.
+            raise ValueError(
+                "PMGTConfig.fusion_strategy must be 'project_tables' or "
+                f"'gather_rows', got {self.fusion_strategy!r} (resolve "
+                "'auto' via resolve_fusion_strategy first)"
+            )
 
     @property
     def head_dim(self) -> int:

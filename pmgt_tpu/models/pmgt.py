@@ -34,6 +34,13 @@ def _additive_mask(attention_mask: Array, dtype) -> Array:
     return ((1.0 - attention_mask) * big_neg).astype(dtype)
 
 
+def lookup_rows(feat_tables: Sequence[Array], ids: Array) -> List[Array]:
+    """Per-modality raw feature-row lookup (reference
+    pmgt/pmgt/utils.py:43-50) — the gather_rows dataflow's table read,
+    shared by the pretrain encoder and the PMGT_NCF head."""
+    return [jnp.asarray(t)[ids] for t in feat_tables]
+
+
 def _normal_init(std: float):
     return nn.initializers.normal(stddev=std)
 
@@ -580,10 +587,6 @@ class PMGTForPreTraining(nn.Module):
             for i, f in enumerate(self.config.feat_hidden_sizes)
         ]
 
-    def _lookup(self, feat_tables: Sequence[Array], ids: Array) -> List[Array]:
-        """Per-modality feature lookup (reference pmgt/pmgt/utils.py:43-50)."""
-        return [jnp.asarray(t)[ids] for t in feat_tables]
-
     def encode(
         self,
         feat_tables: Sequence[Array],
@@ -598,7 +601,7 @@ class PMGTForPreTraining(nn.Module):
         rows and project only those — see PMGTConfig.fusion_strategy.
         """
         if self.config.fusion_strategy == "gather_rows":
-            feat_embeds = [jnp.asarray(t)[node_ids] for t in feat_tables]
+            feat_embeds = lookup_rows(feat_tables, node_ids)
             hidden, _ = self.bert(
                 feat_embeds, attention_mask, deterministic, projected=False
             )

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pmgt_tpu.core.config import PMGTConfig
-from pmgt_tpu.models.pmgt import PMGTModel
+from pmgt_tpu.models.pmgt import PMGTModel, lookup_rows
 
 Array = jax.Array
 
@@ -78,7 +78,7 @@ class PMGT_NCF(nn.Module):
         deterministic: bool = True,
     ) -> Array:
         if self.config.fusion_strategy == "gather_rows":
-            feat_embeds = [jnp.asarray(t)[item_node_ids] for t in feat_tables]
+            feat_embeds = lookup_rows(feat_tables, item_node_ids)
             hidden, _ = self.bert(
                 feat_embeds, item_attention_mask, deterministic,
                 projected=False,

@@ -168,7 +168,13 @@ def sample_context(
     n_total = graph.nbr_ids.shape[0]
     use_packed = (n_total + 1) << m_bits < 2**31
     if SORT_IMPL != "auto":  # A/B escape hatch (tools/ab_refresh.py)
-        use_packed = SORT_IMPL == "packed" and use_packed
+        if SORT_IMPL == "packed" and not use_packed:
+            raise ValueError(
+                f"SORT_IMPL='packed' forced but (N+1) << {m_bits} "
+                f"overflows int32 at N={n_total} — the A/B would "
+                "silently time variadic vs variadic"
+            )
+        use_packed = SORT_IMPL == "packed"
     if use_packed:
         packed = (ids << m_bits) | ws.astype(jnp.int32)
         spacked = jax.lax.sort(packed, dimension=1, is_stable=False)

@@ -143,6 +143,9 @@ def main():
         runners[name] = (
             fn, task.state, task.graph, task.feat_tables, ctx, targets
         )
+    if args.b_sort_impl:
+        from pmgt_tpu.sampling import mcn
+        mcn.SORT_IMPL = "auto"  # both variants are traced; restore
 
     samples = {n: [] for n in variants}
     r = 0

@@ -52,7 +52,7 @@ def main():
     # Summarize copies and sorts with operand shapes.
     for line in text.splitlines():
         s = line.strip()
-        if re.match(r"%?(copy|sort)[.\w]* = ", s) or " = sort(" in s:
+        if re.match(r"%?(copy|sort)[-.\w]* = ", s) or " = sort(" in s:
             print(s[:240])
 
 

@@ -63,29 +63,35 @@ def run_traced(task, batch, steps, trace_dir, fwd_bwd_only=False,
     scfg = task.sampling
     graph = task.graph
 
+    # feat_tables MUST enter as a jit parameter, not a closure capture:
+    # captured arrays are baked into the program as constants, which
+    # pushes the hot-path table gather off the TPU fast path and scales
+    # the compile payload with the graph (see pmgt_task's graph-as-
+    # parameter fix) — a gather_rows trace at --num-nodes >= 50k would
+    # otherwise be unrepresentative of the production step.
     if fwd_bwd_only:
-        def one(state, g, c, t, k):
+        def one(state, g, ft, c, t, k):
             def loss(p):
                 b = make_pretrain_batch_cached(
                     g, c[0], c[1], t, k, scfg, True, pair_cache=c[2]
                 )
                 out = task.model.apply(
-                    {"params": p}, task.feat_tables, b,
+                    {"params": p}, ft, b,
                     deterministic=False, compute_nfr=True,
                     rngs={"dropout": k, "corruption": k},
                 )
                 return out.loss
             return jax.grad(loss)(state.params)
     else:
-        def one(state, g, c, t, k):
+        def one(state, g, ft, c, t, k):
             return task._train_step_impl(
-                state, g, task.feat_tables, t, k, c, accum=1
+                state, g, ft, t, k, c, accum=1
             )
 
     @jax.jit
-    def scan_steps(state, g, c, t, key):
+    def scan_steps(state, g, ft, c, t, key):
         def body(acc, i):
-            out = one(state, g, c, t, jax.random.fold_in(key, i))
+            out = one(state, g, ft, c, t, jax.random.fold_in(key, i))
             flat, _ = flatten_util.ravel_pytree(
                 jax.tree.map(lambda l: jnp.sum(l.astype(jnp.float32)), out)
             )
@@ -95,9 +101,10 @@ def run_traced(task, batch, steps, trace_dir, fwd_bwd_only=False,
         return acc
 
     key = jax.random.key(3)
-    args = (task.state, graph, ctx, targets, key)
+    args = (task.state, graph, task.feat_tables, ctx, targets, key)
     float(scan_steps(*args))  # compile + warm outside the trace
-    timed = (task.state, graph, ctx, targets, jax.random.fold_in(key, 77))
+    timed = (task.state, graph, task.feat_tables, ctx, targets,
+             jax.random.fold_in(key, 77))
     with jax.profiler.trace(trace_dir):
         float(scan_steps(*timed))
 
@@ -251,8 +258,10 @@ def main():
     args = p.parse_args()
 
     if not args.parse_only:
-        if args.exact and args.fwd_bwd_only:
-            raise SystemExit("--exact and --fwd-bwd-only are exclusive")
+        if sum((args.exact, args.fwd_bwd_only, args.refresh)) > 1:
+            raise SystemExit(
+                "--exact, --fwd-bwd-only and --refresh are exclusive"
+            )
         task = build_task(args.batch, args.num_nodes, args.avg_degree)
         if args.refresh:
             run_traced_refresh(task, args.steps, args.trace_dir)
