@@ -44,6 +44,22 @@ from pmgt_tpu.graph.container import (
 SORT_IMPL = "auto"
 
 
+def _use_packed_sort(n_total: int, m_bits: int) -> bool:
+    """Resolve SORT_IMPL for a graph: packed needs (id << m_bits) | w to
+    fit int32 for every id <= n_total. A forced 'packed' that cannot
+    pack raises — a silent variadic fallback would corrupt
+    packed-vs-variadic A/Bs (both sides timing the same code)."""
+    fits = (n_total + 1) << m_bits < 2**31
+    if SORT_IMPL == "auto":
+        return fits
+    if SORT_IMPL == "packed" and not fits:
+        raise ValueError(
+            f"SORT_IMPL='packed' forced but (N+1) << {m_bits} overflows "
+            f"int32 at N={n_total}"
+        )
+    return SORT_IMPL == "packed"
+
+
 def _alias_draw(
     graph: PaddedGraph, frontier: jnp.ndarray, num: int, key: jax.Array
 ) -> jnp.ndarray:
@@ -166,16 +182,7 @@ def sample_context(
     # gathers, measured 69 ms per gather on v5e — bad gather layout.)
     m_bits = depth.bit_length()  # weights fit in [0, depth]
     n_total = graph.nbr_ids.shape[0]
-    use_packed = (n_total + 1) << m_bits < 2**31
-    if SORT_IMPL != "auto":  # A/B escape hatch (tools/ab_refresh.py)
-        if SORT_IMPL == "packed" and not use_packed:
-            raise ValueError(
-                f"SORT_IMPL='packed' forced but (N+1) << {m_bits} "
-                f"overflows int32 at N={n_total} — the A/B would "
-                "silently time variadic vs variadic"
-            )
-        use_packed = SORT_IMPL == "packed"
-    if use_packed:
+    if _use_packed_sort(n_total, m_bits):
         packed = (ids << m_bits) | ws.astype(jnp.int32)
         spacked = jax.lax.sort(packed, dimension=1, is_stable=False)
         sid = spacked >> m_bits

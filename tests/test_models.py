@@ -310,6 +310,19 @@ def test_resolve_fusion_strategy():
         resolve_fusion_strategy("bogus", 10)
 
 
+def test_pmgt_config_rejects_unresolved_fusion_strategy():
+    """Model code branches on == 'gather_rows', so an unresolved 'auto'
+    or a typo must fail at config construction, not silently run
+    project_tables."""
+    for bad in ("auto", "gather_row", ""):
+        with pytest.raises(ValueError):
+            PMGTConfig(
+                hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+                intermediate_size=32, feat_hidden_sizes=(8, 8),
+                fusion_strategy=bad,
+            )
+
+
 def test_fusion_strategy_parity_pretrain():
     """gather_rows and project_tables are the same math on different
     dataflows (gather and linear projection commute); the full pretrain

@@ -171,6 +171,25 @@ def test_packed_sort_bit_identical_to_variadic(small_graph):
     )
 
 
+def test_sort_impl_resolution():
+    """auto → packed iff the int32 packing fits; forced 'packed' that
+    cannot pack must fail loudly — a silent variadic fallback would
+    corrupt packed-vs-variadic A/Bs (both sides timing the same code)."""
+    from pmgt_tpu.sampling import mcn
+
+    assert mcn._use_packed_sort(10_836, 2)
+    assert not mcn._use_packed_sort(2**30, 2)  # > ~268M nodes at depth 3
+    try:
+        mcn.SORT_IMPL = "variadic"
+        assert not mcn._use_packed_sort(10_836, 2)
+        mcn.SORT_IMPL = "packed"
+        assert mcn._use_packed_sort(10_836, 2)
+        with pytest.raises(ValueError, match="packed"):
+            mcn._use_packed_sort(2**30, 2)
+    finally:
+        mcn.SORT_IMPL = "auto"
+
+
 def test_score_ordering_prefers_close_frequent_nodes():
     """Direct neighbors sampled every hop must outrank distant nodes —
     the freq × (depth - k + 1) scoring property (datasets.py:35-40)."""
