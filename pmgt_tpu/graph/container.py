@@ -36,6 +36,13 @@ NUM_SPECIAL_NODES = 2  # 0 = <pad>, 1 = <mask>
 # the other would just double alias-table HBM on every device.
 ROW_DRAW_MAX_DEG = 64
 
+# A/B-only escape hatch: materialize the legacy three split row tables
+# (draw_ids/alias_node + the core alias_prob) ALONGSIDE draw_packed so
+# tools/ab_refresh.py / ab_step.py can trace both draw paths in one
+# process (sampling/mcn.py DRAW_IMPL). Production leaves this off — the
+# split tables would just re-duplicate alias HBM on every device.
+KEEP_SPLIT_TABLES = False
+
 
 class PaddedGraph(NamedTuple):
     """Fixed-shape graph arrays (a pytree; members may be numpy or jnp).
@@ -63,10 +70,19 @@ class PaddedGraph(NamedTuple):
     # faster than the same draws as flat element gathers (6 ms vs 43 ms
     # for the hop-3 refresh gather at [1.39M rows x32] vs [5.5M elems]),
     # so each frontier row is fetched once and slots are selected in
-    # registers via one-hot reduction. ``draw_ids`` carries the degree in
-    # its last column so the draw needs no separate degree gather.
-    draw_ids: np.ndarray  # [N+2, max_deg+1] int32 (nbr ids + degree col)
-    alias_node: np.ndarray  # [N+2, max_deg] int32 (alias ids, 2-D)
+    # registers via one-hot reduction.
+    #
+    # ``draw_packed`` fuses everything a draw needs into ONE row:
+    # ``[nbr_ids | alias ids | alias prob (f32 bits) | degree]``, width
+    # 3*max_deg + 1 int32. Row gathers are row-COUNT-bound on TPU, so one
+    # wide gather beats the three separate gathers it replaced (exact-mode
+    # device traces: the hop gathers were 3 distinct [B, F, ~D] fusions of
+    # equal cost). The legacy split tables (``draw_ids`` with its trailing
+    # degree column, ``alias_node``) are placeholders unless
+    # ``KEEP_SPLIT_TABLES`` — kept only for within-process draw-path A/Bs.
+    draw_packed: np.ndarray  # [N+2, 3*max_deg+1] int32
+    draw_ids: np.ndarray  # [N+2, max_deg+1] int32 (A/B only; placeholder)
+    alias_node: np.ndarray  # [N+2, max_deg] int32 (A/B only; placeholder)
     # Ascending per-row neighbor ids padded with N+2 (an id past the
     # range) — negative pair sampling draws exactly from the complement
     # of this set by order-statistics rank selection (sampling/pairs.py),
@@ -119,9 +135,10 @@ class PaddedGraph(NamedTuple):
                 alias_primary=packed[0],
                 alias_alias=packed[1],
                 alias_prob_bits=packed[2],
-                draw_ids=packed[3],
-                alias_node=packed[4],
-                nbr_sorted=packed[5],
+                draw_packed=packed[3],
+                draw_ids=packed[4],
+                alias_node=packed[5],
+                nbr_sorted=packed[6],
             )
 
 
@@ -199,9 +216,10 @@ def from_edges(
         alias_primary=packed[0],
         alias_alias=packed[1],
         alias_prob_bits=packed[2],
-        draw_ids=packed[3],
-        alias_node=packed[4],
-        nbr_sorted=packed[5],
+        draw_packed=packed[3],
+        draw_ids=packed[4],
+        alias_node=packed[5],
+        nbr_sorted=packed[6],
     )
 
 
@@ -226,15 +244,36 @@ def _pack_alias(
         np.where(slot_valid, nbr_ids, n_total), axis=1
     ).astype(np.int32)
     if max_deg <= ROW_DRAW_MAX_DEG:
-        draw_ids = np.concatenate(
-            [nbr_ids, degrees[:, None].astype(np.int32)], axis=1
+        prob_bits = np.ascontiguousarray(
+            alias_prob.astype(np.float32)
+        ).view(np.int32)
+        draw_packed = np.concatenate(
+            [
+                nbr_ids.astype(np.int32),
+                alias_node.astype(np.int32),
+                prob_bits,
+                degrees[:, None].astype(np.int32),
+            ],
+            axis=1,
         )
+        if KEEP_SPLIT_TABLES:
+            draw_ids = np.ascontiguousarray(
+                np.concatenate(
+                    [nbr_ids, degrees[:, None].astype(np.int32)], axis=1
+                ),
+                np.int32,
+            )
+            alias_node_out = np.ascontiguousarray(alias_node, np.int32)
+        else:
+            draw_ids = placeholder.reshape(1, 1)
+            alias_node_out = placeholder.reshape(1, 1)
         return (
             placeholder,
             placeholder,
             placeholder,
-            np.ascontiguousarray(draw_ids, np.int32),
-            np.ascontiguousarray(alias_node, np.int32),
+            np.ascontiguousarray(draw_packed, np.int32),
+            draw_ids,
+            alias_node_out,
             np.ascontiguousarray(nbr_sorted, np.int32),
         )
     if n_total * max_deg >= 2**31:
@@ -253,6 +292,7 @@ def _pack_alias(
         np.ascontiguousarray(
             alias_prob.astype(np.float32).reshape(-1).view(np.int32)
         ),
+        np.ascontiguousarray(placeholder.reshape(1, 1), np.int32),
         np.ascontiguousarray(placeholder.reshape(1, 1), np.int32),
         np.ascontiguousarray(placeholder.reshape(1, 1), np.int32),
         np.ascontiguousarray(nbr_sorted, np.int32),

@@ -43,6 +43,45 @@ from pmgt_tpu.graph.container import (
 # within-process A/Bs (tools/ab_refresh.py).
 SORT_IMPL = "auto"
 
+# Row-draw gather knob, read at trace time: "auto" uses the fused
+# single-table gather (graph.draw_packed) whenever the container
+# materialized it — always, in production. "split" forces the legacy
+# three-gather path (draw_ids/alias_node/alias_prob) for within-process
+# A/Bs; it requires a graph built with container.KEEP_SPLIT_TABLES.
+DRAW_IMPL = "auto"
+
+
+def _use_packed_draw(graph: PaddedGraph) -> bool:
+    """Resolve DRAW_IMPL for a graph. Forcing a path whose tables are
+    placeholders raises — a silent fallback would corrupt packed-vs-split
+    A/Bs (both sides timing the same code)."""
+    has_packed = graph.draw_packed.shape[0] > 1
+    has_split = graph.draw_ids.shape[0] > 1
+    if DRAW_IMPL == "auto":
+        if has_packed:
+            return True
+        if has_split:
+            return False
+        raise ValueError(
+            "graph has neither packed nor split row draw tables; "
+            "rebuild it with graph.container (from_edges/load)"
+        )
+    if DRAW_IMPL == "packed":
+        if not has_packed:
+            raise ValueError(
+                "DRAW_IMPL='packed' forced but draw_packed is a placeholder"
+            )
+        return True
+    if DRAW_IMPL == "split":
+        if not has_split:
+            raise ValueError(
+                "DRAW_IMPL='split' forced but the split tables are "
+                "placeholders; build the graph with "
+                "container.KEEP_SPLIT_TABLES = True"
+            )
+        return False
+    raise ValueError(f"unknown DRAW_IMPL {DRAW_IMPL!r}")
+
 
 def _use_packed_sort(n_total: int, m_bits: int) -> bool:
     """Resolve SORT_IMPL for a graph: packed needs (id << m_bits) | w to
@@ -83,10 +122,26 @@ def _alias_draw(
     u = jax.random.uniform(key, (b, f, num))
 
     if d <= ROW_DRAW_MAX_DEG:
-        rows_ids = jnp.asarray(graph.draw_ids)[frontier]  # [B, F, D+1]
-        rows_alias = jnp.asarray(graph.alias_node)[frontier]  # [B, F, D]
-        rows_prob = jnp.asarray(graph.alias_prob)[frontier]  # [B, F, D]
-        deg = jnp.maximum(rows_ids[..., d], 1)[..., None]  # [B, F, 1]
+        if _use_packed_draw(graph):
+            # ONE row gather of the fused [ids | alias | prob bits | deg]
+            # table. Row gathers are row-count-bound (~230M rows/s), so
+            # fusing the three per-frontier gathers into one wide gather
+            # cuts the dominant exact-mode/refresh cost ~3x; the slices
+            # below are lane-offset views of the gathered buffer that XLA
+            # fuses into the one-hot reductions.
+            rows = jnp.asarray(graph.draw_packed)[frontier]  # [B,F,3D+1]
+            rows_ids = rows[..., :d]
+            rows_alias = rows[..., d : 2 * d]
+            rows_prob = jax.lax.bitcast_convert_type(
+                rows[..., 2 * d : 3 * d], jnp.float32
+            )
+            deg = jnp.maximum(rows[..., 3 * d], 1)[..., None]  # [B, F, 1]
+        else:  # legacy split tables (A/B only)
+            rows_full = jnp.asarray(graph.draw_ids)[frontier]  # [B, F, D+1]
+            rows_ids = rows_full[..., :d]
+            rows_alias = jnp.asarray(graph.alias_node)[frontier]
+            rows_prob = jnp.asarray(graph.alias_prob)[frontier]
+            deg = jnp.maximum(rows_full[..., d], 1)[..., None]
         scaled = u * deg
         slot = jnp.minimum(scaled.astype(jnp.int32), deg - 1)
         frac = scaled - slot.astype(scaled.dtype)
@@ -94,7 +149,7 @@ def _alias_draw(
         # pass (no [B, F, num, D] materialization).
         sel = slot[..., None] == jnp.arange(d)[None, None, None, :]
         primary = jnp.sum(
-            rows_ids[:, :, None, :d] * sel, axis=-1, dtype=jnp.int32
+            rows_ids[:, :, None, :] * sel, axis=-1, dtype=jnp.int32
         )
         alias = jnp.sum(
             rows_alias[:, :, None, :] * sel, axis=-1, dtype=jnp.int32

@@ -171,6 +171,70 @@ def test_packed_sort_bit_identical_to_variadic(small_graph):
     )
 
 
+def test_packed_draw_bit_identical_to_split(small_graph):
+    """The fused single-table row gather (draw_packed, default) must
+    produce BIT-identical contexts to the legacy three-gather path it
+    replaced — the draw math reads the exact same numbers (ids, alias
+    ids, f32 prob bits, degree) from a different memory layout."""
+    from pmgt_tpu.graph import container
+    from pmgt_tpu.sampling import mcn
+
+    # Rebuild the fixture graph (edges recovered from its rows; weights
+    # are stored raw in nbr_logits) with the split tables materialized.
+    edges = []
+    for row in range(2, small_graph.num_total):
+        deg = int(small_graph.degrees[row])
+        for v, w in zip(
+            small_graph.nbr_ids[row][:deg].tolist(),
+            small_graph.nbr_logits[row][:deg].tolist(),
+        ):
+            if row < v:
+                edges.append((row - 2, int(v) - 2, float(w)))
+    assert not container.KEEP_SPLIT_TABLES
+    try:
+        container.KEEP_SPLIT_TABLES = True
+        both = container.from_edges(small_graph.num_nodes, edges)
+    finally:
+        container.KEEP_SPLIT_TABLES = False
+    assert both.draw_packed.shape[0] > 1
+    assert both.draw_ids.shape[0] > 1
+
+    targets = jnp.arange(2, 34, dtype=jnp.int32)
+    out = {}
+    assert mcn.DRAW_IMPL == "auto"
+    try:
+        for impl in ("packed", "split"):
+            mcn.DRAW_IMPL = impl
+            out[impl] = jax.jit(
+                lambda t, k: sample_context(both, t, k, CFG)
+            )(targets, jax.random.key(9))
+    finally:
+        mcn.DRAW_IMPL = "auto"
+    np.testing.assert_array_equal(
+        np.asarray(out["packed"][0]), np.asarray(out["split"][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["packed"][1]), np.asarray(out["split"][1])
+    )
+
+
+def test_draw_impl_resolution(small_graph):
+    """auto → packed (production graphs materialize only draw_packed);
+    forcing 'split' without the split tables must fail loudly — a silent
+    packed fallback would corrupt packed-vs-split A/Bs."""
+    from pmgt_tpu.sampling import mcn
+
+    assert mcn._use_packed_draw(small_graph)  # auto → packed
+    try:
+        mcn.DRAW_IMPL = "packed"
+        assert mcn._use_packed_draw(small_graph)
+        mcn.DRAW_IMPL = "split"
+        with pytest.raises(ValueError, match="split"):
+            mcn._use_packed_draw(small_graph)
+    finally:
+        mcn.DRAW_IMPL = "auto"
+
+
 def test_sort_impl_resolution():
     """auto → packed iff the int32 packing fits; forced 'packed' that
     cannot pack must fail loudly — a silent variadic fallback would

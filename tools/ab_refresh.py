@@ -58,27 +58,46 @@ def main():
     ap.add_argument("--avg-degree", type=int, default=16)
     ap.add_argument("--n", type=int, default=20)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--ab", choices=("sort", "draw"), default="sort",
+                    help="which knob to A/B: the segment-sort impl "
+                    "(packed vs variadic) or the row-draw gather impl "
+                    "(fused draw_packed vs legacy three-gather split)")
     args = ap.parse_args()
 
+    from pmgt_tpu.graph import container
+
+    if args.ab == "draw":
+        # Materialize BOTH draw-table variants so each traced path reads
+        # its own real tables.
+        container.KEEP_SPLIT_TABLES = True
     art = make_synthetic_dataset(
         num_nodes=args.num_nodes, num_users=100, feat_dims=(8, 8),
         interactions_per_user=2, avg_degree=args.avg_degree, seed=0,
     )
+    container.KEEP_SPLIT_TABLES = False
     graph = PaddedGraph(*(jnp.asarray(a) for a in art.graph))
     cfg = SamplingConfig()
     n_total = graph.nbr_ids.shape[0]
     nodes = jnp.arange(n_total, dtype=jnp.int32)
     key = jax.random.key(11)
 
+    if args.ab == "sort":
+        knob, variants = "SORT_IMPL", (
+            ("A:packed", "packed"), ("B:variadic", "variadic")
+        )
+    else:
+        knob, variants = "DRAW_IMPL", (
+            ("A:packed", "packed"), ("B:split", "split")
+        )
     runners = {}
-    for name, impl in (("A:packed", "packed"), ("B:variadic", "variadic")):
-        mcn.SORT_IMPL = impl
+    for name, impl in variants:
+        setattr(mcn, knob, impl)
         fn = build_runner(cfg, n_total, args.n)
         t0 = time.time()
         float(fn(graph, nodes, key))  # traces NOW with the knob set
         print(f"{name}: compiled+warm in {time.time()-t0:.0f}s", flush=True)
         runners[name] = fn
-    mcn.SORT_IMPL = "auto"
+    setattr(mcn, knob, "auto")
 
     samples = {n: [] for n in runners}
     r = 0

@@ -107,6 +107,11 @@ def main():
                     choices=("packed", "variadic"),
                     help="force sampling.mcn.SORT_IMPL while tracing "
                     "variant B (A traces with the default 'auto')")
+    ap.add_argument("--b-draw-impl", default=None,
+                    choices=("packed", "split"),
+                    help="force sampling.mcn.DRAW_IMPL while tracing "
+                    "variant B (A traces with the default 'auto'); "
+                    "builds the graph with both table variants")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--n", type=int, default=30)
@@ -117,10 +122,15 @@ def main():
     ap.add_argument("--avg-degree", type=int, default=16)
     args = ap.parse_args()
 
+    if args.b_draw_impl:
+        from pmgt_tpu.graph import container
+        container.KEEP_SPLIT_TABLES = True
     art = make_synthetic_dataset(
         num_nodes=args.num_nodes, num_users=100, feat_dims=(1536, 768),
         interactions_per_user=2, avg_degree=args.avg_degree, seed=0,
     )
+    if args.b_draw_impl:
+        container.KEEP_SPLIT_TABLES = False
     common = _parse_extra(args.common)
     variants = {"A": dict(common), "B": {**common, **_parse_extra(args.b)}}
     key = jax.random.key(9)
@@ -130,6 +140,9 @@ def main():
         if args.b_sort_impl:
             from pmgt_tpu.sampling import mcn
             mcn.SORT_IMPL = args.b_sort_impl if name == "B" else "auto"
+        if args.b_draw_impl:
+            from pmgt_tpu.sampling import mcn
+            mcn.DRAW_IMPL = args.b_draw_impl if name == "B" else "auto"
         task = build_task(art, args.batch, overrides)
         ctx = task._get_ctx(("train", 0))
         batch = task.args.train_batch_size
@@ -146,6 +159,9 @@ def main():
     if args.b_sort_impl:
         from pmgt_tpu.sampling import mcn
         mcn.SORT_IMPL = "auto"  # both variants are traced; restore
+    if args.b_draw_impl:
+        from pmgt_tpu.sampling import mcn
+        mcn.DRAW_IMPL = "auto"
 
     samples = {n: [] for n in variants}
     r = 0
