@@ -94,6 +94,29 @@ class PaddedGraph(NamedTuple):
         """Number of real nodes (excluding <pad>/<mask>)."""
         return int(self.nbr_ids.shape[0]) - NUM_SPECIAL_NODES
 
+    def runtime_view(self) -> "PaddedGraph":
+        """The graph with build-only arrays dropped to 1x1 placeholders.
+
+        ``nbr_logits`` / ``alias_prob`` / ``alias_idx`` are inputs for
+        building the draw tables (and the dense cross-check sampler used
+        in tests); no production jit reads them — the sampler consumes
+        ``draw_packed`` (or the flat alias triple), ``nbr_ids``,
+        ``degrees`` and ``nbr_sorted``. Replicating them to every device
+        anyway wastes 3 x [N+2, max_deg] words of HBM per device
+        (~384 MB at the 1M-node smoke scale). Tasks call this before
+        ``replicate_host``; tools that A/B the legacy split draw path
+        keep the full container (``alias_prob`` is that path's operand,
+        so it survives the trim when the split tables are materialized).
+        """
+        keep_split = self.draw_ids.shape[0] > 1  # KEEP_SPLIT_TABLES A/Bs
+        return self._replace(
+            nbr_logits=np.zeros((1, 1), np.float32),
+            alias_prob=(
+                self.alias_prob if keep_split else np.zeros((1, 1), np.float32)
+            ),
+            alias_idx=np.zeros((1, 1), np.int32),
+        )
+
     @property
     def num_total(self) -> int:
         """Total rows including the two special ids."""

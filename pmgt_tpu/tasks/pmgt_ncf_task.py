@@ -155,8 +155,12 @@ class PMGTNCFTask(ServingTopKMixin):
             model=args.model_name,
         )
 
+        # runtime_view drops build-only arrays before device placement.
         self.graph = PaddedGraph(
-            *(replicate_host(self.mesh, np.asarray(a)) for a in artifacts.graph)
+            *(
+                replicate_host(self.mesh, np.asarray(a))
+                for a in artifacts.graph.runtime_view()
+            )
         )
         self.feat_tables = [
             replicate_host(self.mesh, np.asarray(t))

@@ -146,8 +146,13 @@ class PMGTTask:
         )
 
         # Device placement: graph + frozen feature tables replicated.
+        # runtime_view drops the build-only arrays (nbr_logits /
+        # alias_prob / alias_idx) before they cost per-device HBM.
         self.graph = PaddedGraph(
-            *(replicate_host(self.mesh, np.asarray(a)) for a in artifacts.graph)
+            *(
+                replicate_host(self.mesh, np.asarray(a))
+                for a in artifacts.graph.runtime_view()
+            )
         )
         # Frozen feature tables: replicated fp32 by default; two HBM
         # levers for production node counts, composable and both leaving

@@ -352,3 +352,25 @@ def test_chunked_pair_tables_non_dividing_chunk(small_graph):
         # rejection loop (`candidate in self.graph[target]` is False for
         # the target absent a self-loop, reference datasets.py:173-180).
         assert not (set(neg.tolist()) & neigh), t
+
+
+def test_runtime_view_sampling_bit_identical(small_graph):
+    """Production sampling must not read the build-only arrays that
+    runtime_view drops (nbr_logits / alias_prob / alias_idx) — tasks
+    place only the trimmed view on device, so any new consumer of a
+    trimmed field would gather from a 1x1 placeholder and corrupt
+    training silently. Bit-identical outputs prove independence."""
+    trimmed = small_graph.runtime_view()
+    assert trimmed.nbr_logits.shape == (1, 1)
+    assert trimmed.alias_prob.shape == (1, 1)
+    assert trimmed.alias_idx.shape == (1, 1)
+    targets = jnp.arange(2, 34, dtype=jnp.int32)
+    key = jax.random.key(13)
+    full_ctx = sample_context(small_graph, targets, key, CFG)
+    trim_ctx = sample_context(trimmed, targets, key, CFG)
+    for a, b in zip(full_ctx, trim_ctx):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    full_pairs = sample_pairs(small_graph, targets, key, CFG, True)
+    trim_pairs = sample_pairs(trimmed, targets, key, CFG, True)
+    for a, b in zip(full_pairs, trim_pairs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
