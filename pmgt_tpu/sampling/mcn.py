@@ -50,6 +50,14 @@ SORT_IMPL = "auto"
 # A/Bs; it requires a graph built with container.KEEP_SPLIT_TABLES.
 DRAW_IMPL = "auto"
 
+# Top-k implementation knob, read at trace time: "auto" uses k iterated
+# masked-argmax passes for tiny k (the scorer takes max_ctx_neigh=5 of
+# ~656 lanes; XLA's sort-based lax.top_k was the single hottest op of
+# the exact-mode device step at 1.47 ms). "iterative" / "xla" force a
+# path for within-process A/Bs (tools/ab_refresh.py --ab topk).
+TOPK_IMPL = "auto"
+ITERATIVE_TOPK_MAX_K = 16
+
 
 def _use_packed_draw(graph: PaddedGraph) -> bool:
     """Resolve DRAW_IMPL for a graph. Forcing a path whose tables are
@@ -97,6 +105,46 @@ def _use_packed_sort(n_total: int, m_bits: int) -> bool:
             f"int32 at N={n_total}"
         )
     return SORT_IMPL == "packed"
+
+
+def _use_iterative_topk(k: int) -> bool:
+    """Resolve TOPK_IMPL for a given k (see knob comment above)."""
+    if TOPK_IMPL == "auto":
+        return k <= ITERATIVE_TOPK_MAX_K
+    if TOPK_IMPL == "iterative":
+        return True
+    if TOPK_IMPL == "xla":
+        return False
+    raise ValueError(f"unknown TOPK_IMPL {TOPK_IMPL!r}")
+
+
+def _topk_scores(scores: jnp.ndarray, k: int):
+    """Top-k over the trailing axis of the segment scores.
+
+    For tiny static k this runs k unrolled masked-argmax passes instead
+    of ``jax.lax.top_k`` (which lowers to a sort of the whole lane axis):
+    ~5 streaming passes over [B, T] beat the 1.47 ms sort-based top-k on
+    the exact-mode device trace. Selection agrees with ``lax.top_k``
+    wherever it matters: finite score ties break to the lower index in
+    both (argmax returns the first maximum; masking that exact column
+    promotes the next). The one divergence is rows whose remaining
+    entries are ALL -inf — masking -inf with -inf is a no-op, so
+    argmax keeps returning the first such column where lax.top_k would
+    enumerate ascending columns. Callers mask those entries out
+    (``top_vals > 0`` ⇒ id 0, mask 0), so the *caller-visible* outputs
+    are bit-identical; tests/test_sampling.py asserts it.
+    """
+    if not _use_iterative_topk(k):
+        return jax.lax.top_k(scores, k)
+    cols = jnp.arange(scores.shape[-1], dtype=jnp.int32)
+    s = scores
+    vals, poss = [], []
+    for _ in range(k):
+        pos = jnp.argmax(s, axis=-1).astype(jnp.int32)
+        vals.append(jnp.max(s, axis=-1))
+        poss.append(pos)
+        s = jnp.where(cols == pos[..., None], -jnp.inf, s)
+    return jnp.stack(vals, axis=-1), jnp.stack(poss, axis=-1)
 
 
 def _alias_draw(
@@ -271,7 +319,7 @@ def sample_context(
     neg_inf = jnp.float32(-jnp.inf)
     scores = jnp.where(last & (seg_score > 0.0), seg_score, neg_inf)
 
-    top_vals, top_pos = jax.lax.top_k(scores, cfg.max_ctx_neigh)
+    top_vals, top_pos = _topk_scores(scores, cfg.max_ctx_neigh)
     valid = top_vals > 0.0
     ctx_ids = jnp.where(
         valid, jnp.take_along_axis(sid, top_pos, axis=1), 0

@@ -171,6 +171,35 @@ def test_packed_sort_bit_identical_to_variadic(small_graph):
     )
 
 
+def test_iterative_topk_bit_identical_to_xla(small_graph):
+    """The iterated masked-argmax top-k (default for tiny k) must produce
+    BIT-identical contexts to XLA's sort-based lax.top_k it replaced.
+    The raw top_k outputs may differ on rows whose tail entries are all
+    -inf (see _topk_scores docstring), but the caller-visible contexts
+    (ids + mask) must agree exactly — including rows with fewer than
+    max_ctx_neigh scored segments, which the sparse small_graph
+    provides."""
+    from pmgt_tpu.sampling import mcn
+
+    targets = jnp.arange(2, 34, dtype=jnp.int32)
+    out = {}
+    assert mcn.TOPK_IMPL == "auto"
+    try:
+        for impl in ("iterative", "xla"):
+            mcn.TOPK_IMPL = impl
+            out[impl] = jax.jit(
+                lambda t, k: sample_context(small_graph, t, k, CFG)
+            )(targets, jax.random.key(7))
+    finally:
+        mcn.TOPK_IMPL = "auto"
+    np.testing.assert_array_equal(
+        np.asarray(out["iterative"][0]), np.asarray(out["xla"][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["iterative"][1]), np.asarray(out["xla"][1])
+    )
+
+
 def test_packed_draw_bit_identical_to_split(small_graph):
     """The fused single-table row gather (draw_packed, default) must
     produce BIT-identical contexts to the legacy three-gather path it

@@ -58,10 +58,12 @@ def main():
     ap.add_argument("--avg-degree", type=int, default=16)
     ap.add_argument("--n", type=int, default=20)
     ap.add_argument("--reps", type=int, default=4)
-    ap.add_argument("--ab", choices=("sort", "draw"), default="sort",
+    ap.add_argument("--ab", choices=("sort", "draw", "topk"), default="sort",
                     help="which knob to A/B: the segment-sort impl "
-                    "(packed vs variadic) or the row-draw gather impl "
-                    "(fused draw_packed vs legacy three-gather split)")
+                    "(packed vs variadic), the row-draw gather impl "
+                    "(fused draw_packed vs legacy three-gather split), or "
+                    "the scorer top-k impl (iterated masked argmax vs "
+                    "XLA's sort-based lax.top_k)")
     args = ap.parse_args()
 
     from pmgt_tpu.graph import container
@@ -84,6 +86,10 @@ def main():
     if args.ab == "sort":
         knob, variants = "SORT_IMPL", (
             ("A:packed", "packed"), ("B:variadic", "variadic")
+        )
+    elif args.ab == "topk":
+        knob, variants = "TOPK_IMPL", (
+            ("A:iterative", "iterative"), ("B:xla", "xla")
         )
     else:
         knob, variants = "DRAW_IMPL", (

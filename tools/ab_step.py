@@ -112,6 +112,12 @@ def main():
                     help="force sampling.mcn.DRAW_IMPL while tracing "
                     "variant B (A traces with the default 'auto'); "
                     "builds the graph with both table variants")
+    ap.add_argument("--b-topk-impl", default=None,
+                    choices=("iterative", "xla"),
+                    help="force sampling.mcn.TOPK_IMPL while tracing "
+                    "variant B (A traces with the default 'auto'); "
+                    "combine with --common ctx_cache=0 for the "
+                    "exact-mode step where the scorer top-k is hot")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--n", type=int, default=30)
@@ -143,6 +149,9 @@ def main():
         if args.b_draw_impl:
             from pmgt_tpu.sampling import mcn
             mcn.DRAW_IMPL = args.b_draw_impl if name == "B" else "auto"
+        if args.b_topk_impl:
+            from pmgt_tpu.sampling import mcn
+            mcn.TOPK_IMPL = args.b_topk_impl if name == "B" else "auto"
         task = build_task(art, args.batch, overrides)
         ctx = task._get_ctx(("train", 0))
         batch = task.args.train_batch_size
@@ -162,6 +171,9 @@ def main():
     if args.b_draw_impl:
         from pmgt_tpu.sampling import mcn
         mcn.DRAW_IMPL = "auto"
+    if args.b_topk_impl:
+        from pmgt_tpu.sampling import mcn
+        mcn.TOPK_IMPL = "auto"
 
     samples = {n: [] for n in variants}
     r = 0
