@@ -29,6 +29,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pmgt_tpu.core.config import SamplingConfig
 from pmgt_tpu.graph.container import (
@@ -51,12 +52,19 @@ SORT_IMPL = "auto"
 DRAW_IMPL = "auto"
 
 # Top-k implementation knob, read at trace time: "auto" uses k iterated
-# masked-argmax passes for tiny k (the scorer takes max_ctx_neigh=5 of
-# ~656 lanes; XLA's sort-based lax.top_k was the single hottest op of
-# the exact-mode device step at 1.47 ms). "iterative" / "xla" force a
-# path for within-process A/Bs (tools/ab_refresh.py --ab topk).
+# masked-argmax passes for tiny k AND small-to-medium row counts (the
+# scorer takes max_ctx_neigh=5 of ~656 lanes; XLA's sort-based
+# lax.top_k was the single hottest op of the exact-mode device step at
+# 1.47 ms). Interleaved A/Bs (tools/ab_refresh.py --ab topk): iterative
+# WINS at 5,120 rows (exact step 21.8 -> 19.96 ms) and 10,836 rows (TG
+# refresh 18.1 -> 15.5 ms) but LOSES at 65,536 rows (the chunked-
+# refresh chunk: 100k-node refresh 202.9 -> 217.9 ms) — the k masked
+# rewrite passes sweep the whole [rows, T] buffer through HBM, which
+# stops paying once the buffer far exceeds VMEM. "iterative" / "xla"
+# force a path for A/Bs.
 TOPK_IMPL = "auto"
 ITERATIVE_TOPK_MAX_K = 16
+ITERATIVE_TOPK_MAX_ROWS = 32_768
 
 
 def _use_packed_draw(graph: PaddedGraph) -> bool:
@@ -107,10 +115,10 @@ def _use_packed_sort(n_total: int, m_bits: int) -> bool:
     return SORT_IMPL == "packed"
 
 
-def _use_iterative_topk(k: int) -> bool:
-    """Resolve TOPK_IMPL for a given k (see knob comment above)."""
+def _use_iterative_topk(k: int, rows: int) -> bool:
+    """Resolve TOPK_IMPL for a given (k, row count) — see knob comment."""
     if TOPK_IMPL == "auto":
-        return k <= ITERATIVE_TOPK_MAX_K
+        return k <= ITERATIVE_TOPK_MAX_K and rows <= ITERATIVE_TOPK_MAX_ROWS
     if TOPK_IMPL == "iterative":
         return True
     if TOPK_IMPL == "xla":
@@ -134,7 +142,8 @@ def _topk_scores(scores: jnp.ndarray, k: int):
     (``top_vals > 0`` ⇒ id 0, mask 0), so the *caller-visible* outputs
     are bit-identical; tests/test_sampling.py asserts it.
     """
-    if not _use_iterative_topk(k):
+    rows = int(np.prod(scores.shape[:-1]))
+    if not _use_iterative_topk(k, rows):
         return jax.lax.top_k(scores, k)
     cols = jnp.arange(scores.shape[-1], dtype=jnp.int32)
     s = scores
