@@ -64,7 +64,23 @@ DRAW_IMPL = "auto"
 # force a path for A/Bs.
 TOPK_IMPL = "auto"
 ITERATIVE_TOPK_MAX_K = 16
+# Boundary between the measured iterative win at 10,836 rows and the
+# measured loss at 65,536 rows. NOTE: 32,768 is an untested midpoint —
+# the crossover inside (10,836, 65,536) has not been pinned by an A/B;
+# workloads tracing in that gap may take the slower path. Pin it with
+# tools/ab_refresh.py --num-nodes 32768 --ab topk before relying on it.
 ITERATIVE_TOPK_MAX_ROWS = 32_768
+
+# Row-draw slot-selection knob, read at trace time: how the per-draw
+# (primary, alias, prob) triple is selected out of the gathered packed
+# row. "onehot" multiplies by a one-hot over the lane dim and reduces —
+# XLA lowers the lane reduce as a sublane reduce and inserts a relayout
+# copy of the whole gathered buffer (0.85 ms of the 13.6 ms exact-mode
+# device step at [5120, 128, 91]). "chain" selects with an unrolled
+# per-lane where-chain (no cross-lane reduce, so no relayout). "auto"
+# currently resolves to the measured winner; "onehot"/"chain" force a
+# path for within-process A/Bs (tools/ab_step.py --b-select-impl).
+SELECT_IMPL = "auto"
 
 
 def _use_packed_draw(graph: PaddedGraph) -> bool:
@@ -156,6 +172,59 @@ def _topk_scores(scores: jnp.ndarray, k: int):
     return jnp.stack(vals, axis=-1), jnp.stack(poss, axis=-1)
 
 
+def _use_chain_select() -> bool:
+    """Resolve SELECT_IMPL — see the knob comment."""
+    if SELECT_IMPL == "auto":
+        return False
+    if SELECT_IMPL == "chain":
+        return True
+    if SELECT_IMPL == "onehot":
+        return False
+    raise ValueError(f"unknown SELECT_IMPL {SELECT_IMPL!r}")
+
+
+def _select_slots(rows_ids, rows_alias, rows_prob, slot):
+    """Select per-draw (primary, alias, prob) at lane ``slot`` from the
+    gathered draw rows.
+
+    rows_*: [B, F, D]; slot: [B, F, num] → three [B, F, num] outputs.
+
+    Two formulations of the same selection (bit-identical outputs; any
+    lane's value times an exact one-hot sums to that lane's value):
+
+    - one-hot multiply + lane reduce: XLA lowers the reduce over the
+      minor (lane) dim as a SUBLANE reduce and pays a relayout copy of
+      the whole gathered buffer to get lanes-major (0.85 ms of the
+      13.6 ms exact-mode device step at [5120, 128, 91]).
+    - unrolled where-chain over the D lanes: no cross-lane reduce, so
+      the fusion consumes the gather output in its native layout.
+    """
+    if not _use_chain_select():
+        sel = slot[..., None] == jnp.arange(rows_ids.shape[-1])[
+            None, None, None, :
+        ]
+        primary = jnp.sum(
+            rows_ids[:, :, None, :] * sel, axis=-1, dtype=jnp.int32
+        )
+        alias = jnp.sum(
+            rows_alias[:, :, None, :] * sel, axis=-1, dtype=jnp.int32
+        )
+        prob = jnp.sum(
+            rows_prob[:, :, None, :] * sel.astype(rows_prob.dtype), axis=-1
+        )
+        return primary, alias, prob
+    d = rows_ids.shape[-1]
+    primary = jnp.broadcast_to(rows_ids[..., 0:1], slot.shape)
+    alias = jnp.broadcast_to(rows_alias[..., 0:1], slot.shape)
+    prob = jnp.broadcast_to(rows_prob[..., 0:1], slot.shape)
+    for j in range(1, d):
+        hit = slot == j
+        primary = jnp.where(hit, rows_ids[..., j : j + 1], primary)
+        alias = jnp.where(hit, rows_alias[..., j : j + 1], alias)
+        prob = jnp.where(hit, rows_prob[..., j : j + 1], prob)
+    return primary, alias, prob
+
+
 def _alias_draw(
     graph: PaddedGraph, frontier: jnp.ndarray, num: int, key: jax.Array
 ) -> jnp.ndarray:
@@ -202,17 +271,8 @@ def _alias_draw(
         scaled = u * deg
         slot = jnp.minimum(scaled.astype(jnp.int32), deg - 1)
         frac = scaled - slot.astype(scaled.dtype)
-        # One-hot slot selection over the lane dim; fuses into a single
-        # pass (no [B, F, num, D] materialization).
-        sel = slot[..., None] == jnp.arange(d)[None, None, None, :]
-        primary = jnp.sum(
-            rows_ids[:, :, None, :] * sel, axis=-1, dtype=jnp.int32
-        )
-        alias = jnp.sum(
-            rows_alias[:, :, None, :] * sel, axis=-1, dtype=jnp.int32
-        )
-        prob = jnp.sum(
-            rows_prob[:, :, None, :] * sel.astype(rows_prob.dtype), axis=-1
+        primary, alias, prob = _select_slots(
+            rows_ids, rows_alias, rows_prob, slot
         )
         sampled = jnp.where(frac < prob, primary, alias)
         return sampled.reshape(b, f * num)

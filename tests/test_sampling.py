@@ -200,6 +200,33 @@ def test_iterative_topk_bit_identical_to_xla(small_graph):
     )
 
 
+def test_chain_select_bit_identical_to_onehot(small_graph):
+    """The where-chain slot selection (SELECT_IMPL='chain') must produce
+    BIT-identical contexts to the one-hot lane reduction: a lane's value
+    times an exact one-hot sums to that lane's value (ints exactly; for
+    the f32 prob, adding exact zeros is exact), and the where-chain picks
+    the same lane."""
+    from pmgt_tpu.sampling import mcn
+
+    targets = jnp.arange(2, 34, dtype=jnp.int32)
+    out = {}
+    assert mcn.SELECT_IMPL == "auto"
+    try:
+        for impl in ("onehot", "chain"):
+            mcn.SELECT_IMPL = impl
+            out[impl] = jax.jit(
+                lambda t, k: sample_context(small_graph, t, k, CFG)
+            )(targets, jax.random.key(11))
+    finally:
+        mcn.SELECT_IMPL = "auto"
+    np.testing.assert_array_equal(
+        np.asarray(out["chain"][0]), np.asarray(out["onehot"][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["chain"][1]), np.asarray(out["onehot"][1])
+    )
+
+
 def test_packed_draw_bit_identical_to_split(small_graph):
     """The fused single-table row gather (draw_packed, default) must
     produce BIT-identical contexts to the legacy three-gather path it

@@ -118,6 +118,12 @@ def main():
                     "variant B (A traces with the default 'auto'); "
                     "combine with --common ctx_cache=0 for the "
                     "exact-mode step where the scorer top-k is hot")
+    ap.add_argument("--b-select-impl", default=None,
+                    choices=("onehot", "chain"),
+                    help="force sampling.mcn.SELECT_IMPL while tracing "
+                    "variant B (A traces with the default 'auto'); "
+                    "combine with --common ctx_cache=0 for the "
+                    "exact-mode step where the slot selection is hot")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--n", type=int, default=30)
@@ -152,6 +158,9 @@ def main():
         if args.b_topk_impl:
             from pmgt_tpu.sampling import mcn
             mcn.TOPK_IMPL = args.b_topk_impl if name == "B" else "auto"
+        if args.b_select_impl:
+            from pmgt_tpu.sampling import mcn
+            mcn.SELECT_IMPL = args.b_select_impl if name == "B" else "auto"
         task = build_task(art, args.batch, overrides)
         ctx = task._get_ctx(("train", 0))
         batch = task.args.train_batch_size
@@ -174,6 +183,9 @@ def main():
     if args.b_topk_impl:
         from pmgt_tpu.sampling import mcn
         mcn.TOPK_IMPL = "auto"
+    if args.b_select_impl:
+        from pmgt_tpu.sampling import mcn
+        mcn.SELECT_IMPL = "auto"
 
     samples = {n: [] for n in variants}
     r = 0
