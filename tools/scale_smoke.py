@@ -9,6 +9,14 @@ row-shardable across a mesh for bigger-still graphs, core/mesh.py).
 Timing per CLAUDE.md's measurement rule: whole epochs, scan-and-fetch,
 median over epochs.
 
+Sharded-table mode (VERDICT r3 #5): ``--shard-feat-tables`` row-shards
+the frozen feature tables over the mesh (pair with ``--cpu-mesh 8`` for
+the virtual 8-device CPU mesh when only one chip is available); prints
+the per-device footprint and asserts it is total/mesh_size. The
+dedicated 100k-node footprint+parity test is
+tests/test_scale_sharded.py; this flag exists so a real v5e-8 run can
+measure sharded *throughput* when hardware is available.
+
 Usage: python tools/scale_smoke.py [--num-nodes 100000] [--epochs 3]
 """
 import argparse
@@ -27,9 +35,28 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--avg-degree", type=int, default=16)
+    ap.add_argument("--shard-feat-tables", action="store_true",
+                    help="row-shard the frozen feature tables over the "
+                    "mesh (gather_rows dataflow)")
+    ap.add_argument("--cpu-mesh", type=int, default=None, metavar="N",
+                    help="run on a virtual N-device CPU mesh instead of "
+                    "the default backend (sharding without N real chips)")
     args = ap.parse_args()
 
+    if args.cpu_mesh:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.cpu_mesh}"
+            ).strip()
+
     import jax
+
+    if args.cpu_mesh:
+        # The axon sitecustomize pins jax_platforms at interpreter start;
+        # env JAX_PLATFORMS is ignored — update the config post-import.
+        jax.config.update("jax_platforms", "cpu")
 
     from pmgt_tpu.core.config import TrainArgs
     from pmgt_tpu.data.synthetic import make_synthetic_dataset
@@ -47,19 +74,33 @@ def main():
     print(f"synthetic dataset ({args.num_nodes} nodes): "
           f"{time.time()-t0:.0f}s", flush=True)
 
+    extra = dict(hidden_size=128, intermediate_size=128,
+                 num_hidden_layers=5, num_attention_heads=1)
+    if args.shard_feat_tables:
+        extra.update(shard_feat_tables=True, fusion_strategy="gather_rows")
     targs = TrainArgs(
         model_name="PMGT", dataset_name="scale-smoke", seed=0,
         num_epochs=1, train_batch_size=args.batch,
         test_batch_size=args.batch, lr=1e-4, mp_enabled=True,
-        gradient_max_norm=5.0,
-        extra=dict(hidden_size=128, intermediate_size=128,
-                   num_hidden_layers=5, num_attention_heads=1),
+        gradient_max_norm=5.0, num_devices=args.cpu_mesh,
+        extra=extra,
     )
     nodes = np.arange(2, art.num_nodes + 2, dtype=np.int32)
     t0 = time.time()
     task = PMGTTask(targs, art, nodes, nodes[: args.batch])
     print(f"task build (tables to device, alias pack): "
           f"{time.time()-t0:.0f}s", flush=True)
+
+    total = sum(t.nbytes for t in task.feat_tables)
+    per_dev = sum(
+        t.addressable_shards[0].data.nbytes for t in task.feat_tables
+    )
+    print(f"feat tables: {total/2**20:.0f} MB total, "
+          f"{per_dev/2**20:.0f} MB on device 0 "
+          f"({'sharded' if args.shard_feat_tables else 'replicated'}, "
+          f"mesh size {task.mesh.size})", flush=True)
+    if args.shard_feat_tables:
+        assert per_dev * task.mesh.size == total, (per_dev, total)
 
     def run_epoch(epoch):
         t0 = time.time()
