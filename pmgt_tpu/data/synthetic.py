@@ -305,12 +305,12 @@ def _powerlaw_edges(num_nodes, num_edges, cluster, members, pop, rng):
 
 def _powerlaw_interactions(
     num_users, num_items, total, cluster, members, pop, rng,
-    alpha: float = 2.3,
+    alpha: float = 2.3, intra_prob: float = 0.8,
 ):
     """(user, item) pairs: per-user activity is discrete-Pareto
     distributed (mean repaired to ``total/num_users``), each user
-    prefers one cluster (80% of draws) and picks items ∝ popularity.
-    Unique per (user, item); trimmed to exactly ``total``."""
+    prefers one cluster (``intra_prob`` of draws) and picks items ∝
+    popularity. Unique per (user, item); trimmed to exactly ``total``."""
     mem_mat, cum = _cluster_samplers(members, pop)
     gcum = np.cumsum(pop)
     gcum /= gcum[-1]
@@ -333,7 +333,7 @@ def _powerlaw_interactions(
         n = len(users)
         if n == 0:
             continue
-        intra = rng.random(n) < 0.8
+        intra = rng.random(n) < intra_prob
         items = np.where(
             intra,
             _draw_in_cluster(pref[users], mem_mat, cum, rng),
@@ -353,6 +353,7 @@ def make_published_shape_dataset(
     feat_dims: Sequence[int] = (1536, 768),
     num_clusters: int = 40,
     seed: int = 0,
+    signal: float = 1.0,
 ) -> DatasetArtifacts:
     """Synthetic dataset at the EXACT published scale and sparsity of VG
     or TG (reference README.md:129-167): node/user/edge/interaction
@@ -364,7 +365,19 @@ def make_published_shape_dataset(
     reference's global random 80/20 interaction split
     (preprocess.py / notebook cell 24). The closest operating-point
     fidelity check available without network access to the Amazon dumps
-    (tools/validate_pipeline.py --shape VG|TG)."""
+    (tools/validate_pipeline.py --shape VG|TG).
+
+    ``signal`` scales how strongly graph structure predicts interactions
+    — the intra-cluster interaction preference becomes
+    ``0.8 * signal`` (VERDICT r3 #4: at signal 1.0 the plain-vs-PMGT
+    downstream lifts run 2-4x the published magnitudes, so a fidelity
+    bug could hide inside the exaggerated margin; the calibrated
+    per-shape values in tools/validate_pipeline.py land the lifts near
+    the published ones). The knob only affects the interaction draws —
+    the rng stream for clusters/popularity/edges/features is consumed
+    before it, so the graph, features, and therefore PMGT pretraining
+    and its exported embeddings are IDENTICAL across signal values for
+    a fixed seed (calibration sweeps reuse one pretrain)."""
     spec = PUBLISHED_SHAPES[shape.upper()]
     num_nodes, num_users = spec["num_nodes"], spec["num_users"]
     rng = np.random.default_rng(seed)
@@ -392,7 +405,7 @@ def make_published_shape_dataset(
 
     pairs = _powerlaw_interactions(
         num_users, num_nodes, spec["num_interactions"],
-        cluster, members, pop, rng,
+        cluster, members, pop, rng, intra_prob=0.8 * signal,
     )
     perm = rng.permutation(len(pairs))
     n_test = int(round(len(pairs) * 0.2))
