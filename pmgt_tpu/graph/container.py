@@ -43,6 +43,19 @@ ROW_DRAW_MAX_DEG = 64
 # split tables would just re-duplicate alias HBM on every device.
 KEEP_SPLIT_TABLES = False
 
+# Node counts (incl. the 2 special ids) whose ids fit 16 bits: primary
+# and alias ids pack into ONE int32 lane, shrinking the draw row from
+# 3*max_deg+1 to 2*max_deg+1 lanes. The hop row gather and the relayout
+# copy feeding the slot selection are both BYTES-bound on the gathered
+# [B, F, row] buffer (exact-mode trace: 1.19 + 0.85 ms on a 238 MB
+# intermediate at TG scale), so −33% row width is a direct win.
+PACK16_MAX_TOTAL = 1 << 16
+
+# A/B-only escape hatch: materialize the wide 3*max_deg+1 draw_packed
+# ALONGSIDE draw_packed16 on graphs that qualify for the narrow table,
+# so the two row layouts can be traced in one process.
+KEEP_WIDE_PACKED = False
+
 
 class PaddedGraph(NamedTuple):
     """Fixed-shape graph arrays (a pytree; members may be numpy or jnp).
@@ -80,7 +93,16 @@ class PaddedGraph(NamedTuple):
     # equal cost). The legacy split tables (``draw_ids`` with its trailing
     # degree column, ``alias_node``) are placeholders unless
     # ``KEEP_SPLIT_TABLES`` — kept only for within-process draw-path A/Bs.
+    #
+    # ``draw_packed16`` further packs (primary | alias << 16) into one
+    # lane when every id fits 16 bits (N+2 <= PACK16_MAX_TOTAL):
+    # ``[id pairs | alias prob (f32 bits) | degree]``, width
+    # 2*max_deg + 1 — the hop gather and its relayout are bytes-bound,
+    # so the narrow row is the production table on qualifying graphs
+    # (draw_packed is then a placeholder unless KEEP_WIDE_PACKED).
+    # Prob bits stay exact f32: draws are bit-identical across layouts.
     draw_packed: np.ndarray  # [N+2, 3*max_deg+1] int32
+    draw_packed16: np.ndarray  # [N+2, 2*max_deg+1] int32
     draw_ids: np.ndarray  # [N+2, max_deg+1] int32 (A/B only; placeholder)
     alias_node: np.ndarray  # [N+2, max_deg] int32 (A/B only; placeholder)
     # Ascending per-row neighbor ids padded with N+2 (an id past the
@@ -159,9 +181,10 @@ class PaddedGraph(NamedTuple):
                 alias_alias=packed[1],
                 alias_prob_bits=packed[2],
                 draw_packed=packed[3],
-                draw_ids=packed[4],
-                alias_node=packed[5],
-                nbr_sorted=packed[6],
+                draw_packed16=packed[4],
+                draw_ids=packed[5],
+                alias_node=packed[6],
+                nbr_sorted=packed[7],
             )
 
 
@@ -240,9 +263,10 @@ def from_edges(
         alias_alias=packed[1],
         alias_prob_bits=packed[2],
         draw_packed=packed[3],
-        draw_ids=packed[4],
-        alias_node=packed[5],
-        nbr_sorted=packed[6],
+        draw_packed16=packed[4],
+        draw_ids=packed[5],
+        alias_node=packed[6],
+        nbr_sorted=packed[7],
     )
 
 
@@ -270,15 +294,37 @@ def _pack_alias(
         prob_bits = np.ascontiguousarray(
             alias_prob.astype(np.float32)
         ).view(np.int32)
-        draw_packed = np.concatenate(
-            [
-                nbr_ids.astype(np.int32),
-                alias_node.astype(np.int32),
-                prob_bits,
-                degrees[:, None].astype(np.int32),
-            ],
-            axis=1,
-        )
+        deg_col = degrees[:, None].astype(np.int32)
+        pack16 = n_total <= PACK16_MAX_TOTAL
+        if pack16:
+            # (primary | alias << 16) per lane; ids < 2**16 so the pair
+            # is lossless. Decoded with logical shifts (the high id may
+            # set the sign bit of the int32 view).
+            id_pairs = (
+                nbr_ids.astype(np.uint32)
+                | (alias_node.astype(np.uint32) << 16)
+            ).view(np.int32)
+            draw_packed16 = np.ascontiguousarray(
+                np.concatenate([id_pairs, prob_bits, deg_col], axis=1),
+                np.int32,
+            )
+        else:
+            draw_packed16 = placeholder.reshape(1, 1)
+        if pack16 and not KEEP_WIDE_PACKED:
+            draw_packed = placeholder.reshape(1, 1)
+        else:
+            draw_packed = np.ascontiguousarray(
+                np.concatenate(
+                    [
+                        nbr_ids.astype(np.int32),
+                        alias_node.astype(np.int32),
+                        prob_bits,
+                        deg_col,
+                    ],
+                    axis=1,
+                ),
+                np.int32,
+            )
         if KEEP_SPLIT_TABLES:
             draw_ids = np.ascontiguousarray(
                 np.concatenate(
@@ -294,7 +340,8 @@ def _pack_alias(
             placeholder,
             placeholder,
             placeholder,
-            np.ascontiguousarray(draw_packed, np.int32),
+            draw_packed,
+            draw_packed16,
             draw_ids,
             alias_node_out,
             np.ascontiguousarray(nbr_sorted, np.int32),
@@ -315,6 +362,7 @@ def _pack_alias(
         np.ascontiguousarray(
             alias_prob.astype(np.float32).reshape(-1).view(np.int32)
         ),
+        np.ascontiguousarray(placeholder.reshape(1, 1), np.int32),
         np.ascontiguousarray(placeholder.reshape(1, 1), np.int32),
         np.ascontiguousarray(placeholder.reshape(1, 1), np.int32),
         np.ascontiguousarray(placeholder.reshape(1, 1), np.int32),

@@ -44,11 +44,14 @@ from pmgt_tpu.graph.container import (
 # within-process A/Bs (tools/ab_refresh.py).
 SORT_IMPL = "auto"
 
-# Row-draw gather knob, read at trace time: "auto" uses the fused
-# single-table gather (graph.draw_packed) whenever the container
-# materialized it — always, in production. "split" forces the legacy
-# three-gather path (draw_ids/alias_node/alias_prob) for within-process
-# A/Bs; it requires a graph built with container.KEEP_SPLIT_TABLES.
+# Row-draw gather knob, read at trace time: "auto" prefers the narrow
+# 16-bit-id fused table (graph.draw_packed16, materialized whenever
+# N+2 <= 65,536 — the hop gather and the relayout feeding the slot
+# selection are BYTES-bound, so the 2D+1-lane row beats the 3D+1-lane
+# one), then the wide fused table (draw_packed), then the legacy split
+# tables. "packed16"/"packed"/"split" force a path for within-process
+# A/Bs; forcing a path whose table is a placeholder raises
+# (KEEP_WIDE_PACKED / KEEP_SPLIT_TABLES materialize the extras).
 DRAW_IMPL = "auto"
 
 # Top-k implementation knob, read at trace time: "auto" uses k iterated
@@ -71,48 +74,33 @@ ITERATIVE_TOPK_MAX_K = 16
 # tools/ab_refresh.py --num-nodes 32768 --ab topk before relying on it.
 ITERATIVE_TOPK_MAX_ROWS = 32_768
 
-# Row-draw slot-selection knob, read at trace time: how the per-draw
-# (primary, alias, prob) triple is selected out of the gathered packed
-# row. "onehot" multiplies by a one-hot over the lane dim and reduces —
-# XLA lowers the lane reduce as a sublane reduce and inserts a relayout
-# copy of the whole gathered buffer (0.85 ms of the 13.6 ms exact-mode
-# device step at [5120, 128, 91]). "chain" selects with an unrolled
-# per-lane where-chain (no cross-lane reduce, so no relayout). "auto"
-# currently resolves to the measured winner; "onehot"/"chain" force a
-# path for within-process A/Bs (tools/ab_step.py --b-select-impl).
-SELECT_IMPL = "auto"
-
-
-def _use_packed_draw(graph: PaddedGraph) -> bool:
-    """Resolve DRAW_IMPL for a graph. Forcing a path whose tables are
-    placeholders raises — a silent fallback would corrupt packed-vs-split
-    A/Bs (both sides timing the same code)."""
-    has_packed = graph.draw_packed.shape[0] > 1
-    has_split = graph.draw_ids.shape[0] > 1
+def _draw_path(graph: PaddedGraph) -> str:
+    """Resolve DRAW_IMPL for a graph to 'packed16'/'packed'/'split'.
+    Forcing a path whose tables are placeholders raises — a silent
+    fallback would corrupt draw-path A/Bs (both sides timing the same
+    code)."""
+    available = {
+        "packed16": graph.draw_packed16.shape[0] > 1,
+        "packed": graph.draw_packed.shape[0] > 1,
+        "split": graph.draw_ids.shape[0] > 1,
+    }
     if DRAW_IMPL == "auto":
-        if has_packed:
-            return True
-        if has_split:
-            return False
+        for path in ("packed16", "packed", "split"):
+            if available[path]:
+                return path
         raise ValueError(
-            "graph has neither packed nor split row draw tables; "
-            "rebuild it with graph.container (from_edges/load)"
+            "graph has no row draw tables; rebuild it with "
+            "graph.container (from_edges/load)"
         )
-    if DRAW_IMPL == "packed":
-        if not has_packed:
-            raise ValueError(
-                "DRAW_IMPL='packed' forced but draw_packed is a placeholder"
-            )
-        return True
-    if DRAW_IMPL == "split":
-        if not has_split:
-            raise ValueError(
-                "DRAW_IMPL='split' forced but the split tables are "
-                "placeholders; build the graph with "
-                "container.KEEP_SPLIT_TABLES = True"
-            )
-        return False
-    raise ValueError(f"unknown DRAW_IMPL {DRAW_IMPL!r}")
+    if DRAW_IMPL not in available:
+        raise ValueError(f"unknown DRAW_IMPL {DRAW_IMPL!r}")
+    if not available[DRAW_IMPL]:
+        raise ValueError(
+            f"DRAW_IMPL={DRAW_IMPL!r} forced but its table is a "
+            "placeholder; build the graph with container."
+            "KEEP_WIDE_PACKED / KEEP_SPLIT_TABLES as needed"
+        )
+    return DRAW_IMPL
 
 
 def _use_packed_sort(n_total: int, m_bits: int) -> bool:
@@ -172,57 +160,28 @@ def _topk_scores(scores: jnp.ndarray, k: int):
     return jnp.stack(vals, axis=-1), jnp.stack(poss, axis=-1)
 
 
-def _use_chain_select() -> bool:
-    """Resolve SELECT_IMPL — see the knob comment."""
-    if SELECT_IMPL == "auto":
-        return False
-    if SELECT_IMPL == "chain":
-        return True
-    if SELECT_IMPL == "onehot":
-        return False
-    raise ValueError(f"unknown SELECT_IMPL {SELECT_IMPL!r}")
-
-
-def _select_slots(rows_ids, rows_alias, rows_prob, slot):
-    """Select per-draw (primary, alias, prob) at lane ``slot`` from the
-    gathered draw rows.
-
-    rows_*: [B, F, D]; slot: [B, F, num] → three [B, F, num] outputs.
-
-    Two formulations of the same selection (bit-identical outputs; any
-    lane's value times an exact one-hot sums to that lane's value):
-
-    - one-hot multiply + lane reduce: XLA lowers the reduce over the
-      minor (lane) dim as a SUBLANE reduce and pays a relayout copy of
-      the whole gathered buffer to get lanes-major (0.85 ms of the
-      13.6 ms exact-mode device step at [5120, 128, 91]).
-    - unrolled where-chain over the D lanes: no cross-lane reduce, so
-      the fusion consumes the gather output in its native layout.
-    """
-    if not _use_chain_select():
-        sel = slot[..., None] == jnp.arange(rows_ids.shape[-1])[
-            None, None, None, :
-        ]
-        primary = jnp.sum(
-            rows_ids[:, :, None, :] * sel, axis=-1, dtype=jnp.int32
-        )
-        alias = jnp.sum(
-            rows_alias[:, :, None, :] * sel, axis=-1, dtype=jnp.int32
-        )
-        prob = jnp.sum(
-            rows_prob[:, :, None, :] * sel.astype(rows_prob.dtype), axis=-1
-        )
-        return primary, alias, prob
-    d = rows_ids.shape[-1]
-    primary = jnp.broadcast_to(rows_ids[..., 0:1], slot.shape)
-    alias = jnp.broadcast_to(rows_alias[..., 0:1], slot.shape)
-    prob = jnp.broadcast_to(rows_prob[..., 0:1], slot.shape)
-    for j in range(1, d):
-        hit = slot == j
-        primary = jnp.where(hit, rows_ids[..., j : j + 1], primary)
-        alias = jnp.where(hit, rows_alias[..., j : j + 1], alias)
-        prob = jnp.where(hit, rows_prob[..., j : j + 1], prob)
-    return primary, alias, prob
+def _select_slots(slot, *tables):
+    """Select each table's lane at ``slot`` via one-hot multiply + lane
+    reduce: tables [B, F, D]; slot [B, F, num] → [B, F, num] outputs.
+    Exact (bit-identical to indexing): a lane's value times an exact
+    one-hot sums to that lane's value — ints exactly, and for f32 adding
+    exact zeros is exact. XLA pays one relayout copy of the gathered
+    buffer to make the lane reduce a sublane reduce; an unrolled
+    where-chain that avoids the relayout measured +6.2 ms/step WORSE on
+    the exact-mode step (D−1 extra sweeps of the buffer, ab_step
+    interleaved A/B, round 4) — the real lever is fewer gathered bytes
+    (draw_packed16), not the reduce layout."""
+    d = tables[0].shape[-1]
+    sel = slot[..., None] == jnp.arange(d)[None, None, None, :]
+    out = []
+    for t in tables:
+        if jnp.issubdtype(t.dtype, jnp.integer):
+            out.append(jnp.sum(t[:, :, None, :] * sel, axis=-1,
+                               dtype=jnp.int32))
+        else:
+            out.append(jnp.sum(t[:, :, None, :] * sel.astype(t.dtype),
+                               axis=-1))
+    return out
 
 
 def _alias_draw(
@@ -248,32 +207,55 @@ def _alias_draw(
     u = jax.random.uniform(key, (b, f, num))
 
     if d <= ROW_DRAW_MAX_DEG:
-        if _use_packed_draw(graph):
-            # ONE row gather of the fused [ids | alias | prob bits | deg]
-            # table. Row gathers are row-count-bound (~230M rows/s), so
-            # fusing the three per-frontier gathers into one wide gather
-            # cuts the dominant exact-mode/refresh cost ~3x; the slices
-            # below are lane-offset views of the gathered buffer that XLA
-            # fuses into the one-hot reductions.
-            rows = jnp.asarray(graph.draw_packed)[frontier]  # [B,F,3D+1]
-            rows_ids = rows[..., :d]
-            rows_alias = rows[..., d : 2 * d]
+        path = _draw_path(graph)
+        if path == "packed16":
+            # ONE row gather of the narrow [(primary|alias<<16) pairs |
+            # prob bits | deg] table — 2D+1 lanes. The hop gather and the
+            # relayout copy feeding the slot selection are bytes-bound on
+            # the gathered [B, F, row] buffer, so the 16-bit id packing
+            # is a direct −33% on both; prob bits stay exact f32 so the
+            # draws are bit-identical to the wide layouts.
+            rows = jnp.asarray(graph.draw_packed16)[frontier]  # [B,F,2D+1]
+            rows_pair = rows[..., :d]
             rows_prob = jax.lax.bitcast_convert_type(
-                rows[..., 2 * d : 3 * d], jnp.float32
+                rows[..., d : 2 * d], jnp.float32
             )
-            deg = jnp.maximum(rows[..., 3 * d], 1)[..., None]  # [B, F, 1]
-        else:  # legacy split tables (A/B only)
-            rows_full = jnp.asarray(graph.draw_ids)[frontier]  # [B, F, D+1]
-            rows_ids = rows_full[..., :d]
-            rows_alias = jnp.asarray(graph.alias_node)[frontier]
-            rows_prob = jnp.asarray(graph.alias_prob)[frontier]
-            deg = jnp.maximum(rows_full[..., d], 1)[..., None]
-        scaled = u * deg
-        slot = jnp.minimum(scaled.astype(jnp.int32), deg - 1)
-        frac = scaled - slot.astype(scaled.dtype)
-        primary, alias, prob = _select_slots(
-            rows_ids, rows_alias, rows_prob, slot
-        )
+            deg = jnp.maximum(rows[..., 2 * d], 1)[..., None]  # [B, F, 1]
+            scaled = u * deg
+            slot = jnp.minimum(scaled.astype(jnp.int32), deg - 1)
+            frac = scaled - slot.astype(scaled.dtype)
+            pair, prob = _select_slots(slot, rows_pair, rows_prob)
+            # Decode AFTER the slot selection (on the small [B, F, num]
+            # buffer). Logical shift: the alias id may set the sign bit.
+            primary = pair & 0xFFFF
+            alias = jax.lax.shift_right_logical(pair, 16)
+        else:
+            if path == "packed":
+                # ONE row gather of the fused [ids | alias | prob bits |
+                # deg] table (3D+1 lanes). Row gathers are row-count-
+                # bound (~230M rows/s), so one wide gather beats the
+                # three separate gathers it replaced; the slices below
+                # are lane-offset views that XLA fuses into the one-hot
+                # reductions.
+                rows = jnp.asarray(graph.draw_packed)[frontier]  # [B,F,3D+1]
+                rows_ids = rows[..., :d]
+                rows_alias = rows[..., d : 2 * d]
+                rows_prob = jax.lax.bitcast_convert_type(
+                    rows[..., 2 * d : 3 * d], jnp.float32
+                )
+                deg = jnp.maximum(rows[..., 3 * d], 1)[..., None]  # [B,F,1]
+            else:  # legacy split tables (A/B only)
+                rows_full = jnp.asarray(graph.draw_ids)[frontier]  # [B,F,D+1]
+                rows_ids = rows_full[..., :d]
+                rows_alias = jnp.asarray(graph.alias_node)[frontier]
+                rows_prob = jnp.asarray(graph.alias_prob)[frontier]
+                deg = jnp.maximum(rows_full[..., d], 1)[..., None]
+            scaled = u * deg
+            slot = jnp.minimum(scaled.astype(jnp.int32), deg - 1)
+            frac = scaled - slot.astype(scaled.dtype)
+            primary, alias, prob = _select_slots(
+                slot, rows_ids, rows_alias, rows_prob
+            )
         sampled = jnp.where(frac < prob, primary, alias)
         return sampled.reshape(b, f * num)
 

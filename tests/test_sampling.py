@@ -200,43 +200,18 @@ def test_iterative_topk_bit_identical_to_xla(small_graph):
     )
 
 
-def test_chain_select_bit_identical_to_onehot(small_graph):
-    """The where-chain slot selection (SELECT_IMPL='chain') must produce
-    BIT-identical contexts to the one-hot lane reduction: a lane's value
-    times an exact one-hot sums to that lane's value (ints exactly; for
-    the f32 prob, adding exact zeros is exact), and the where-chain picks
-    the same lane."""
-    from pmgt_tpu.sampling import mcn
-
-    targets = jnp.arange(2, 34, dtype=jnp.int32)
-    out = {}
-    assert mcn.SELECT_IMPL == "auto"
-    try:
-        for impl in ("onehot", "chain"):
-            mcn.SELECT_IMPL = impl
-            out[impl] = jax.jit(
-                lambda t, k: sample_context(small_graph, t, k, CFG)
-            )(targets, jax.random.key(11))
-    finally:
-        mcn.SELECT_IMPL = "auto"
-    np.testing.assert_array_equal(
-        np.asarray(out["chain"][0]), np.asarray(out["onehot"][0])
-    )
-    np.testing.assert_array_equal(
-        np.asarray(out["chain"][1]), np.asarray(out["onehot"][1])
-    )
-
-
-def test_packed_draw_bit_identical_to_split(small_graph):
-    """The fused single-table row gather (draw_packed, default) must
-    produce BIT-identical contexts to the legacy three-gather path it
-    replaced — the draw math reads the exact same numbers (ids, alias
-    ids, f32 prob bits, degree) from a different memory layout."""
+def test_draw_paths_bit_identical(small_graph):
+    """All three row-draw layouts must produce BIT-identical contexts:
+    the narrow 16-bit-id table (draw_packed16, production default on
+    graphs whose ids fit 16 bits), the wide fused table (draw_packed),
+    and the legacy three-gather split path — the draw math reads the
+    exact same numbers (ids, alias ids, f32 prob bits, degree) from
+    different memory layouts."""
     from pmgt_tpu.graph import container
     from pmgt_tpu.sampling import mcn
 
     # Rebuild the fixture graph (edges recovered from its rows; weights
-    # are stored raw in nbr_logits) with the split tables materialized.
+    # are stored raw in nbr_logits) with every table variant materialized.
     edges = []
     for row in range(2, small_graph.num_total):
         deg = int(small_graph.degrees[row])
@@ -247,46 +222,52 @@ def test_packed_draw_bit_identical_to_split(small_graph):
             if row < v:
                 edges.append((row - 2, int(v) - 2, float(w)))
     assert not container.KEEP_SPLIT_TABLES
+    assert not container.KEEP_WIDE_PACKED
     try:
         container.KEEP_SPLIT_TABLES = True
-        both = container.from_edges(small_graph.num_nodes, edges)
+        container.KEEP_WIDE_PACKED = True
+        every = container.from_edges(small_graph.num_nodes, edges)
     finally:
         container.KEEP_SPLIT_TABLES = False
-    assert both.draw_packed.shape[0] > 1
-    assert both.draw_ids.shape[0] > 1
+        container.KEEP_WIDE_PACKED = False
+    assert every.draw_packed16.shape[0] > 1
+    assert every.draw_packed.shape[0] > 1
+    assert every.draw_ids.shape[0] > 1
 
     targets = jnp.arange(2, 34, dtype=jnp.int32)
     out = {}
     assert mcn.DRAW_IMPL == "auto"
     try:
-        for impl in ("packed", "split"):
+        for impl in ("packed16", "packed", "split"):
             mcn.DRAW_IMPL = impl
             out[impl] = jax.jit(
-                lambda t, k: sample_context(both, t, k, CFG)
+                lambda t, k: sample_context(every, t, k, CFG)
             )(targets, jax.random.key(9))
     finally:
         mcn.DRAW_IMPL = "auto"
-    np.testing.assert_array_equal(
-        np.asarray(out["packed"][0]), np.asarray(out["split"][0])
-    )
-    np.testing.assert_array_equal(
-        np.asarray(out["packed"][1]), np.asarray(out["split"][1])
-    )
+    for other in ("packed", "split"):
+        np.testing.assert_array_equal(
+            np.asarray(out["packed16"][0]), np.asarray(out[other][0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["packed16"][1]), np.asarray(out[other][1])
+        )
 
 
 def test_draw_impl_resolution(small_graph):
-    """auto → packed (production graphs materialize only draw_packed);
-    forcing 'split' without the split tables must fail loudly — a silent
-    packed fallback would corrupt packed-vs-split A/Bs."""
+    """auto → packed16 (small-id production graphs materialize only the
+    narrow table); forcing a path whose table is a placeholder must fail
+    loudly — a silent fallback would corrupt draw-path A/Bs."""
     from pmgt_tpu.sampling import mcn
 
-    assert mcn._use_packed_draw(small_graph)  # auto → packed
+    assert mcn._draw_path(small_graph) == "packed16"  # auto
     try:
-        mcn.DRAW_IMPL = "packed"
-        assert mcn._use_packed_draw(small_graph)
-        mcn.DRAW_IMPL = "split"
-        with pytest.raises(ValueError, match="split"):
-            mcn._use_packed_draw(small_graph)
+        mcn.DRAW_IMPL = "packed16"
+        assert mcn._draw_path(small_graph) == "packed16"
+        for forced in ("packed", "split"):
+            mcn.DRAW_IMPL = forced
+            with pytest.raises(ValueError, match="placeholder"):
+                mcn._draw_path(small_graph)
     finally:
         mcn.DRAW_IMPL = "auto"
 

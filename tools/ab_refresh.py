@@ -58,25 +58,29 @@ def main():
     ap.add_argument("--avg-degree", type=int, default=16)
     ap.add_argument("--n", type=int, default=20)
     ap.add_argument("--reps", type=int, default=4)
-    ap.add_argument("--ab", choices=("sort", "draw", "topk"), default="sort",
+    ap.add_argument("--ab", choices=("sort", "draw", "draw16", "topk"),
+                    default="sort",
                     help="which knob to A/B: the segment-sort impl "
                     "(packed vs variadic), the row-draw gather impl "
-                    "(fused draw_packed vs legacy three-gather split), or "
-                    "the scorer top-k impl (iterated masked argmax vs "
-                    "XLA's sort-based lax.top_k)")
+                    "(fused draw_packed vs legacy three-gather split), "
+                    "the narrow 16-bit-id row layout (draw_packed16 vs "
+                    "draw_packed), or the scorer top-k impl (iterated "
+                    "masked argmax vs XLA's sort-based lax.top_k)")
     args = ap.parse_args()
 
     from pmgt_tpu.graph import container
 
-    if args.ab == "draw":
-        # Materialize BOTH draw-table variants so each traced path reads
+    if args.ab in ("draw", "draw16"):
+        # Materialize ALL draw-table variants so each traced path reads
         # its own real tables.
-        container.KEEP_SPLIT_TABLES = True
+        container.KEEP_SPLIT_TABLES = args.ab == "draw"
+        container.KEEP_WIDE_PACKED = True
     art = make_synthetic_dataset(
         num_nodes=args.num_nodes, num_users=100, feat_dims=(8, 8),
         interactions_per_user=2, avg_degree=args.avg_degree, seed=0,
     )
     container.KEEP_SPLIT_TABLES = False
+    container.KEEP_WIDE_PACKED = False
     graph = PaddedGraph(*(jnp.asarray(a) for a in art.graph))
     cfg = SamplingConfig()
     n_total = graph.nbr_ids.shape[0]
@@ -90,6 +94,10 @@ def main():
     elif args.ab == "topk":
         knob, variants = "TOPK_IMPL", (
             ("A:iterative", "iterative"), ("B:xla", "xla")
+        )
+    elif args.ab == "draw16":
+        knob, variants = "DRAW_IMPL", (
+            ("A:packed", "packed"), ("B:packed16", "packed16")
         )
     else:
         knob, variants = "DRAW_IMPL", (

@@ -108,22 +108,23 @@ def main():
                     help="force sampling.mcn.SORT_IMPL while tracing "
                     "variant B (A traces with the default 'auto')")
     ap.add_argument("--b-draw-impl", default=None,
-                    choices=("packed", "split"),
+                    choices=("packed16", "packed", "split"),
                     help="force sampling.mcn.DRAW_IMPL while tracing "
-                    "variant B (A traces with the default 'auto'); "
-                    "builds the graph with both table variants")
+                    "variant B; builds the graph with all draw-table "
+                    "variants materialized")
+    ap.add_argument("--a-draw-impl", default=None,
+                    choices=("packed16", "packed", "split"),
+                    help="force sampling.mcn.DRAW_IMPL while tracing "
+                    "variant A (default: 'auto'); use with "
+                    "--b-draw-impl to pin both sides, e.g. "
+                    "--a-draw-impl packed --b-draw-impl packed16 when "
+                    "auto already resolves to packed16")
     ap.add_argument("--b-topk-impl", default=None,
                     choices=("iterative", "xla"),
                     help="force sampling.mcn.TOPK_IMPL while tracing "
                     "variant B (A traces with the default 'auto'); "
                     "combine with --common ctx_cache=0 for the "
                     "exact-mode step where the scorer top-k is hot")
-    ap.add_argument("--b-select-impl", default=None,
-                    choices=("onehot", "chain"),
-                    help="force sampling.mcn.SELECT_IMPL while tracing "
-                    "variant B (A traces with the default 'auto'); "
-                    "combine with --common ctx_cache=0 for the "
-                    "exact-mode step where the slot selection is hot")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--n", type=int, default=30)
@@ -134,15 +135,17 @@ def main():
     ap.add_argument("--avg-degree", type=int, default=16)
     args = ap.parse_args()
 
-    if args.b_draw_impl:
+    if args.b_draw_impl or args.a_draw_impl:
         from pmgt_tpu.graph import container
         container.KEEP_SPLIT_TABLES = True
+        container.KEEP_WIDE_PACKED = True
     art = make_synthetic_dataset(
         num_nodes=args.num_nodes, num_users=100, feat_dims=(1536, 768),
         interactions_per_user=2, avg_degree=args.avg_degree, seed=0,
     )
-    if args.b_draw_impl:
+    if args.b_draw_impl or args.a_draw_impl:
         container.KEEP_SPLIT_TABLES = False
+        container.KEEP_WIDE_PACKED = False
     common = _parse_extra(args.common)
     variants = {"A": dict(common), "B": {**common, **_parse_extra(args.b)}}
     key = jax.random.key(9)
@@ -152,15 +155,15 @@ def main():
         if args.b_sort_impl:
             from pmgt_tpu.sampling import mcn
             mcn.SORT_IMPL = args.b_sort_impl if name == "B" else "auto"
-        if args.b_draw_impl:
+        if args.b_draw_impl or args.a_draw_impl:
             from pmgt_tpu.sampling import mcn
-            mcn.DRAW_IMPL = args.b_draw_impl if name == "B" else "auto"
+            mcn.DRAW_IMPL = (
+                (args.b_draw_impl or "auto") if name == "B"
+                else (args.a_draw_impl or "auto")
+            )
         if args.b_topk_impl:
             from pmgt_tpu.sampling import mcn
             mcn.TOPK_IMPL = args.b_topk_impl if name == "B" else "auto"
-        if args.b_select_impl:
-            from pmgt_tpu.sampling import mcn
-            mcn.SELECT_IMPL = args.b_select_impl if name == "B" else "auto"
         task = build_task(art, args.batch, overrides)
         ctx = task._get_ctx(("train", 0))
         batch = task.args.train_batch_size
@@ -177,15 +180,12 @@ def main():
     if args.b_sort_impl:
         from pmgt_tpu.sampling import mcn
         mcn.SORT_IMPL = "auto"  # both variants are traced; restore
-    if args.b_draw_impl:
+    if args.b_draw_impl or args.a_draw_impl:
         from pmgt_tpu.sampling import mcn
         mcn.DRAW_IMPL = "auto"
     if args.b_topk_impl:
         from pmgt_tpu.sampling import mcn
         mcn.TOPK_IMPL = "auto"
-    if args.b_select_impl:
-        from pmgt_tpu.sampling import mcn
-        mcn.SELECT_IMPL = "auto"
 
     samples = {n: [] for n in variants}
     r = 0
