@@ -189,10 +189,31 @@ def _fill_table(
     return table
 
 
+def _load_feats_npz(path: str):
+    """Pre-extracted feature drop-in: a user with computed features but
+    no egress (or no GPU) seeds ``<out_dir>/<dataset>_{visual,textual}_
+    feats.npz`` (keys: ``feats`` [n, dim], ``asins`` [n]) — the exact
+    files the extractors below write — and extraction is skipped."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=True) as data:
+        feats = np.asarray(data["feats"], np.float32)
+        mapping = [str(a) for a in data["asins"].tolist()]
+    logger.info(
+        "using pre-extracted features from %s (%d items, %d-d); "
+        "extraction skipped", path, len(mapping), feats.shape[1],
+    )
+    return feats, mapping
+
+
 def _extract_visual(
     raw_dir, out_dir, dataset_name, image_model, device,
     visual_model, visual_transform,
 ):
+    out_npz = os.path.join(out_dir, f"{dataset_name}_visual_feats.npz")
+    seeded = _load_feats_npz(out_npz)
+    if seeded is not None:
+        return seeded
     from pmgt_tpu.data.feature_extraction import (
         extract_visual_features,
         iter_item_images,
@@ -209,7 +230,7 @@ def _extract_visual(
     if not len(mapping):
         raise RuntimeError(f"no item images under {images_dir}")
     np.savez_compressed(
-        os.path.join(out_dir, f"{dataset_name}_visual_feats.npz"),
+        out_npz,
         feats=feats,
         asins=np.asarray(mapping, dtype=object),
     )
@@ -219,6 +240,10 @@ def _extract_visual(
 def _extract_textual(
     out_dir, dataset_name, node_texts, text_model, device
 ):
+    out_npz = os.path.join(out_dir, f"{dataset_name}_textual_feats.npz")
+    seeded = _load_feats_npz(out_npz)
+    if seeded is not None:
+        return seeded
     from pmgt_tpu.data.feature_extraction import extract_textual_features
 
     feats, mapping = extract_textual_features(
@@ -227,7 +252,7 @@ def _extract_textual(
     if not len(mapping):
         raise RuntimeError("no review texts to extract from")
     np.savez_compressed(
-        os.path.join(out_dir, f"{dataset_name}_textual_feats.npz"),
+        out_npz,
         feats=feats,
         asins=np.asarray(mapping, dtype=object),
     )

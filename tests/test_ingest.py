@@ -252,3 +252,40 @@ def test_preprocess_extraction_fallback_is_graceful(tmp_path, tiny_bert_dir):
     visual, textual = art.feat_init_embs
     assert textual.shape[1] == 16  # extracted
     assert visual.shape[1] == 24  # random fallback at the requested dim
+
+
+def test_preprocess_consumes_preseeded_feature_npz(tmp_path):
+    """Pre-extracted feature npz drop-ins (the files the extractors
+    write) must be consumed as-is, skipping the model calls entirely —
+    the data-only reproduction path for a sandbox with neither egress
+    nor feature weights (tools/reproduce_published.py)."""
+    from pmgt_tpu.data.preprocess import run_preprocess
+
+    raw = _toy_raw_dir(tmp_path)
+    out = tmp_path / "out"
+    out.mkdir()
+    vis = np.arange(3 * 6, dtype=np.float32).reshape(3, 6)
+    txt = np.arange(3 * 4, dtype=np.float32).reshape(3, 4) + 100.0
+    for kind, feats in (("visual", vis), ("textual", txt)):
+        np.savez_compressed(
+            out / f"toy_{kind}_feats.npz",
+            feats=feats,
+            asins=np.asarray(["A", "B", "C"], dtype=object),
+        )
+    art = run_preprocess(
+        raw_dir=str(raw),
+        out_dir=str(out),
+        dataset_name="toy",
+        min_common_users=3,
+        split_date="2015-01-01",
+        seed=0,
+        extract_features=True,
+        # no text/visual models supplied: only the npz can provide rows
+    )
+    visual, textual = art.feat_init_embs
+    nodes = list(art.node_classes)
+    for i, asin in enumerate("ABC"):
+        row = 2 + nodes.index(asin)
+        np.testing.assert_allclose(visual[row], vis[i])
+        np.testing.assert_allclose(textual[row], txt[i])
+    assert visual.shape[1] == 6 and textual.shape[1] == 4

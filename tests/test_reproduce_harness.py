@@ -78,7 +78,9 @@ def test_real_mode_records_blocked_download(tmp_path, monkeypatch):
     monkeypatch.setattr(
         rp,
         "stage_features_available",
-        lambda report: rp._record(report, "features", "blocked", stub=True),
+        lambda report, *a: rp._record(
+            report, "features", "blocked", stub=True
+        ),
     )
     report = rp.run_real("VG", str(tmp_path))
     statuses = {e["stage"]: e["status"] for e in report["stages"]}
@@ -86,6 +88,10 @@ def test_real_mode_records_blocked_download(tmp_path, monkeypatch):
     dl = next(e for e in report["stages"] if e["stage"] == "download")
     assert "Network is unreachable" in dl["error"]
     assert "deepyeti" in report["blocker"]
+    # The blocker must document every pre-seeded drop-in path (the
+    # data-only reproduction route).
+    assert "reviews.json.gz" in report["blocker"]
+    assert "feats.npz" in report["blocker"]
 
 
 def test_compare_gate_logic():

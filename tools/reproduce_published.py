@@ -21,6 +21,17 @@ Usage:
     python tools/reproduce_published.py --fixture             # hermetic proof
     python tools/reproduce_published.py --fixture --platform cpu
 
+Pre-seeded inputs (every stage consumes existing files as-is, so a user
+with data but no egress can run the whole chain):
+    <work>/raw/<DS>/reviews.json.gz        the 5-core review dump
+    <work>/raw/<DS>/images/<asin>/*        product images (visual feats)
+    <work>/data/<DS>_visual_feats.npz      pre-extracted features
+    <work>/data/<DS>_textual_feats.npz     (keys feats/asins — skips the
+                                           Inception-v4/BERT models)
+With the dump + both npz files the requirement is data-only: no network
+and no model weights. The features stage also records an HF cache-only
+BERT attempt and an offline (--no-index) pip install of timm.
+
 Real mode runs on the TPU; ``--platform cpu`` pins JAX to CPU (useful for
 the fixture chain, which is minutes on CPU vs tunnel-compile-bound on
 one chip).
@@ -81,10 +92,39 @@ def stage_download(report, dataset, raw_dir):
         return _blocked(report, "download", exc)
 
 
-def stage_features_available(report):
-    """Check the Inception-v4 / BERT weights are obtainable (notebook
-    cells 15, 18). Without them preprocess falls back to random feature
-    rows — fine for the pipeline, fatal for reproducing the numbers."""
+def _seeded_npz(data_root, dataset):
+    """Pre-extracted feature drop-ins present? (data/preprocess.py
+    ``_load_feats_npz``: ``<data_root>/<DS>_{visual,textual}_feats.npz``
+    with keys feats/asins — extraction is skipped when they exist)."""
+    return {
+        kind: os.path.exists(
+            os.path.join(data_root, f"{dataset}_{kind}_feats.npz")
+        )
+        for kind in ("visual", "textual")
+    }
+
+
+def stage_features_available(report, data_root=None, dataset=None):
+    """Check every way the Inception-v4 / BERT features can be obtained
+    (notebook cells 15, 18), most-preferred first:
+
+    1. pre-extracted npz drop-ins under the preprocess out dir,
+    2. weights loadable as installed (timm hub / HF network or cache),
+    3. HF cache-only load (``local_files_only=True``),
+    4. an OFFLINE pip install of timm (``--no-index``: local wheel
+       caches only, never the network).
+
+    Records each attempt's outcome so the report shows exactly which
+    grant (data files vs egress) unblocks the numbers. Without features,
+    preprocess falls back to random rows — fine for the pipeline, fatal
+    for reproducing the published metrics."""
+    import subprocess
+
+    seeded = (
+        _seeded_npz(data_root, dataset)
+        if data_root and dataset
+        else {"visual": False, "textual": False}
+    )
     try:
         import timm
 
@@ -92,6 +132,29 @@ def stage_features_available(report):
         vis = "ok"
     except Exception as exc:  # noqa: BLE001
         vis = f"{type(exc).__name__}: {exc}"
+    if vis != "ok" and "No module named" in vis:
+        # Offline install attempt (local wheel sources only; recorded,
+        # never fetches).
+        r = subprocess.run(
+            [sys.executable, "-m", "pip", "install", "--no-index", "timm"],
+            capture_output=True, text=True, timeout=120,
+        )
+        offline_pip = (
+            "ok" if r.returncode == 0
+            else (r.stderr.strip().splitlines() or ["failed"])[-1]
+        )
+        if r.returncode == 0:
+            try:
+                import timm
+
+                timm.create_model(
+                    "inception_v4", pretrained=True, num_classes=0
+                )
+                vis = "ok"
+            except Exception as exc:  # noqa: BLE001
+                vis = f"{type(exc).__name__}: {exc}"
+    else:
+        offline_pip = "not attempted (timm importable or other failure)"
     try:
         from transformers import AutoModel
 
@@ -99,13 +162,30 @@ def stage_features_available(report):
         txt = "ok"
     except Exception as exc:  # noqa: BLE001
         txt = f"{type(exc).__name__}: {exc}"
-    ok = vis == "ok" and txt == "ok"
+    if txt != "ok":
+        try:
+            from transformers import AutoModel
+
+            AutoModel.from_pretrained(
+                "bert-base-uncased", local_files_only=True
+            )
+            txt_cache = "ok"
+            txt = "ok (HF cache)"
+        except Exception as exc:  # noqa: BLE001
+            txt_cache = f"{type(exc).__name__}: {exc}"
+    else:
+        txt_cache = "not needed"
+    vis_ok = vis == "ok" or seeded["visual"]
+    txt_ok = txt.startswith("ok") or seeded["textual"]
     return _record(
         report,
         "features",
-        "ok" if ok else "blocked",
+        "ok" if (vis_ok and txt_ok) else "blocked",
         inception_v4=vis,
         bert=txt,
+        bert_cache_only=txt_cache,
+        offline_pip_timm=offline_pip,
+        seeded_npz=seeded,
     )
 
 
@@ -345,14 +425,24 @@ def run_real(dataset, work_dir, epochs=None):
     log_dir = os.path.join(work_dir, "logs")
 
     dl = stage_download(report, dataset, raw_dir)
-    feats = stage_features_available(report)
+    feats = stage_features_available(report, data_root, dataset)
     if dl["status"] != "ok":
         report["blocker"] = (
-            "network: raw review dump download failed; every later stage "
-            "needs its output. Grant egress to deepyeti.ucsd.edu (reviews) "
-            "+ huggingface.co / timm hub (feature weights) and rerun."
+            "data: raw review dump unavailable; every later stage needs "
+            "its output. EITHER grant egress (deepyeti.ucsd.edu for "
+            "reviews; huggingface.co / timm hub for feature weights) OR "
+            "pre-seed the inputs — the harness consumes them as-is: "
+            f"(1) the review dump at {raw_dir}/reviews.json.gz, "
+            f"(2) product images at {raw_dir}/images/<asin>/*, "
+            f"(3) pre-extracted features at {data_root}/"
+            f"{dataset}_{{visual,textual}}_feats.npz (keys feats/asins; "
+            "skips the Inception-v4/BERT models entirely) — then rerun. "
+            "With (1)+(3) the remaining requirement is data-only: no "
+            "egress and no model weights are needed."
         )
         return report
+    # Extraction runs when weights OR pre-seeded npz can supply features
+    # (the npz short-circuits the model call, preprocess._load_feats_npz).
     pp = stage_preprocess(
         report, raw_dir, data_root, dataset, extract=feats["status"] == "ok"
     )
