@@ -23,6 +23,10 @@ logger = logging.getLogger("pmgt_tpu")
               help="generate at the EXACT published scale/sparsity of the "
               "VG or TG dataset (power-law degrees and user activity); "
               "overrides the count options")
+@click.option("--signal", type=click.FLOAT, default=1.0,
+              help="graph→interaction signal strength for --shape datasets "
+              "(data/synthetic.py make_published_shape_dataset); calibrated "
+              "per-shape values live in tools/validate_pipeline.py")
 def make_synthetic(
     out_dir,
     num_nodes,
@@ -33,6 +37,7 @@ def make_synthetic(
     interactions_per_user,
     seed,
     shape,
+    signal,
 ):
     """Generate a synthetic dataset in the native artifact format."""
     from pmgt_tpu.data.artifacts import save_native
@@ -41,9 +46,12 @@ def make_synthetic(
         make_synthetic_dataset,
     )
 
+    if signal != 1.0 and not shape:
+        raise click.UsageError("--signal applies only to --shape datasets")
     if shape:
         art = make_published_shape_dataset(
-            shape, feat_dims=(visual_dim, textual_dim), seed=seed
+            shape, feat_dims=(visual_dim, textual_dim), seed=seed,
+            signal=signal,
         )
     else:
         art = make_synthetic_dataset(

@@ -214,3 +214,18 @@ def test_downstream_eval_inference_require_run_id():
             )
             with pytest.raises(ValueError, match="requires --run-id"):
                 mod.check_args(args)
+
+
+def test_make_synthetic_signal_requires_shape(tmp_path):
+    """--signal scales the published-shape generator's graph→interaction
+    coupling; on the count-parameterized generator it would silently do
+    nothing, so the CLI rejects it."""
+    runner = CliRunner()
+    result = runner.invoke(
+        _cli(),
+        ["make-synthetic", "--out-dir", str(tmp_path / "d"),
+         "--num-nodes", "30", "--num-users", "20", "--signal", "0.5"],
+        obj={},
+    )
+    assert result.exit_code != 0
+    assert "--signal applies only to --shape" in result.output

@@ -388,3 +388,25 @@ def test_published_shape_dataset():
     assert np.array_equal(
         np.asarray(art.graph.nbr_ids), np.asarray(art2.graph.nbr_ids)
     )
+
+
+def test_published_shape_signal_only_reshapes_interactions():
+    """The signal knob (VERDICT r3 #4) must leave the graph, features,
+    and interaction COUNT untouched at fixed seed — calibration sweeps
+    reuse one PMGT pretrain across signal values — while actually
+    changing which interactions are drawn."""
+    from pmgt_tpu.data.synthetic import make_published_shape_dataset
+
+    a = make_published_shape_dataset("VG", feat_dims=(12, 6), seed=7,
+                                     signal=1.0)
+    b = make_published_shape_dataset("VG", feat_dims=(12, 6), seed=7,
+                                     signal=0.6)
+    assert np.array_equal(
+        np.asarray(a.graph.nbr_ids), np.asarray(b.graph.nbr_ids)
+    )
+    for fa, fb in zip(a.feat_init_embs, b.feat_init_embs):
+        assert np.array_equal(fa, fb)
+    n_a = len(a.train_pairs) + len(a.test_pairs)
+    n_b = len(b.train_pairs) + len(b.test_pairs)
+    assert n_a == n_b
+    assert not np.array_equal(a.train_pairs, b.train_pairs)
