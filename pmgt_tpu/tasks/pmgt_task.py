@@ -766,6 +766,20 @@ def init_model(args: TrainArgs, ctx: Dict[str, Any], trial=None) -> None:
     )
 
 
+def _restore_params_only(path: str, task: PMGTTask) -> None:
+    """Load just the model params from a checkpoint (raw restore, like
+    ncf_task/dcn_task.test). Eval/inference never touch the optimizer
+    state, and rebuilding it as a restore template would force the
+    invocation to repeat every opt-state-shaping training flag
+    (gradient_max_norm adds a clip link to the optax chain; a mismatch
+    is an opaque orbax tree error)."""
+    payload = restore_checkpoint(path)
+    task.state = TrainState(
+        jax.tree.map(jnp.asarray, payload["state"]["params"]),
+        task.state.opt_state,
+    )
+
+
 def _maybe_restore(args: TrainArgs, task: PMGTTask, load_best: bool) -> None:
     if args.run_id is None:
         return
@@ -773,22 +787,8 @@ def _maybe_restore(args: TrainArgs, task: PMGTTask, load_best: bool) -> None:
     path = locate_eval_ckpt(registry, None, args.run_id, load_best=load_best)
     if path is None:
         return
-    payload = restore_checkpoint(
-        os.path.join(path),
-        {"state": task.state, "meta": _meta_template()},
-    )
-    task.state = payload["state"]
+    _restore_params_only(path, task)
     logger.info("restored checkpoint from %s", path)
-
-
-def _meta_template():
-    return {
-        "epoch": 0,
-        "global_step": 0,
-        "patience": 0,
-        "best_value": 0.0,
-        "has_best": True,
-    }
 
 
 def train(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, float]:
@@ -816,10 +816,7 @@ def test(
     task: PMGTTask = ctx["task"]
     path = locate_eval_ckpt(registry, run, args.run_id)
     if path is not None:
-        payload = restore_checkpoint(
-            path, {"state": task.state, "meta": _meta_template()}
-        )
-        task.state = payload["state"]
+        _restore_params_only(path, task)
     if is_hptuning:
         metrics = task.evaluate(task.state, "valid")
         return {k.replace("val/", "test/"): v for k, v in metrics.items()}

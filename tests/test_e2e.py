@@ -78,6 +78,43 @@ def test_pmgt_pretrain_and_export(pretrained):
     pass  # assertions live in the fixture
 
 
+def test_pmgt_inference_restore_ignores_optimizer_flags(pretrained, art):
+    """`--mode inference --run-id X` must restore from a fresh process
+    even when the invocation's optimizer flags differ from the training
+    run's (eval/inference only need params; a full-state restore
+    template would demand every opt-state-shaping flag match — e.g.
+    gradient_max_norm adds a clip link to the optax chain)."""
+    from pmgt_tpu.tasks import pmgt_task
+
+    log_dir, run_id, _ = pretrained
+
+    def export(gradient_max_norm):
+        args = TrainArgs(
+            model_name="PMGT",
+            dataset_name="SYN",
+            seed=0,
+            mode="inference",
+            run_id=run_id,
+            gradient_max_norm=gradient_max_norm,
+            log_dir=log_dir,
+            early_criterion="auc",
+            extra=dict(EXTRA_PMGT),
+        )
+        ctx = {"artifacts": art}
+        pmgt_task.check_args(args)
+        pmgt_task.init_dataloader(args, ctx)
+        pmgt_task.init_model(args, ctx)
+        registry = RunRegistry(log_dir)
+        return pmgt_task.inference(args, ctx, registry, registry.get_run(run_id))
+
+    # training ran WITHOUT clipping; both invocations must restore the
+    # same best-checkpoint params regardless of their optimizer flags
+    emb_clip = export(gradient_max_norm=5.0)
+    emb_plain = export(gradient_max_norm=None)
+    assert emb_clip.shape == (60, 16)
+    np.testing.assert_array_equal(emb_clip, emb_plain)
+
+
 def test_ncf_consumes_pmgt_embeddings(pretrained, art):
     from pmgt_tpu.tasks import ncf_task
 

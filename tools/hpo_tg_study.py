@@ -76,11 +76,15 @@ def pretrain_and_export(data_dir, log_dir, hidden, epochs):
     ])
     rid = last_run_id(out)
     emb = os.path.join(data_dir, "TG", f"node_feat_{hidden}dim.npy")
+    # the restore template rebuilds the optimizer state, so every
+    # opt-state-shaping flag must match the training invocation
+    # (gradient_max_norm adds a clip link to the optax chain)
     run_cli([
         "train-pmgt", "--model-name", "PMGT", "--dataset-name", "TG",
         "--data-dir", data_dir, "--log-dir", log_dir,
         "--hidden-size", hidden, "--intermediate-size", hidden,
         "--num-hidden-layers", 5, "--mp-enabled",
+        "--lr", 1e-4, "--decay", 1e-2, "--gradient-max-norm", 5.0,
         "--mode", "inference", "--run-id", rid,
         "--inference-result-path", emb,
     ])
