@@ -282,6 +282,28 @@ def build_eval_candidates(
     candidates = np.where(is_pos, pos_padded, negs).astype(np.int32)
     labels = is_pos.astype(np.float32)
     cand_mask = (col < valid[:, None]).astype(np.float32)
+    # Shuffle each row's valid slots (keyed, deterministic per split).
+    # The reference scores candidate lists positives-FIRST and
+    # torch.topk / lax.top_k break ties toward the lower index
+    # (reference ncf/trainer.py:213 + ncf/datasets.py:106-128), so a
+    # constant/saturated scorer — every candidate tied — "ranks" all
+    # positives at the top and reports a PERFECT NDCG/recall. HPO
+    # maximization then selects exactly such degenerate trials (observed
+    # on TPU: an MLP trial with dead ReLU towers scored val/n20 = 1.0 at
+    # epochs 0-1). A per-row permutation is a no-op for tie-free
+    # rankings and gives tied scores their unbiased expectation instead
+    # of the optimistic bound. Documented deviation (README).
+    shuffle_seed = int(
+        jax.random.randint(jax.random.fold_in(key, 1), (), 0, np.iinfo(np.int32).max)
+    )
+    rng = np.random.default_rng(shuffle_seed)
+    for start in range(0, u, 8192):  # chunked: [U, L] can be 134k x 1000
+        sl = slice(start, min(start + 8192, u))
+        r = rng.random((sl.stop - sl.start, big_l), dtype=np.float32)
+        r[cand_mask[sl] == 0] = np.inf  # padding keeps its tail position
+        order = np.argsort(r, axis=1, kind="stable")
+        candidates[sl] = np.take_along_axis(candidates[sl], order, axis=1)
+        labels[sl] = np.take_along_axis(labels[sl], order, axis=1)
     return users, candidates, cand_mask, labels
 
 

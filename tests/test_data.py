@@ -54,16 +54,52 @@ def test_eval_candidates_protocol(inter):
     assert cands.shape == (3, 5)
     for r in range(3):
         c = int(inter.user_pos_count[r])
-        # positives first
-        np.testing.assert_array_equal(
-            cands[r, :c], inter.user_pos[r, :c]
-        )
-        np.testing.assert_array_equal(labels[r, :c], 1.0)
-        # negatives are not positives for this user
         valid = int(mask[r].sum())
         assert valid == max(5, c)
-        negs = cands[r, c:valid]
-        assert not (set(negs.tolist()) & set(inter.user_pos[r, :c].tolist()))
+        # every positive appears exactly once among the valid slots,
+        # wherever the keyed shuffle placed it, and labels mark them
+        pos = set(inter.user_pos[r, :c].tolist())
+        marked = {int(i) for i, l in zip(cands[r, :valid], labels[r, :valid]) if l == 1}
+        assert marked == pos
+        assert labels[r, :valid].sum() == c
+        # negatives are not positives for this user
+        negs = [int(i) for i, l in zip(cands[r, :valid], labels[r, :valid]) if l == 0]
+        assert not (set(negs) & pos)
+    # deterministic per key
+    _, c2, m2, l2 = build_eval_candidates(inter, num_ng=5, key=jax.random.key(1))
+    np.testing.assert_array_equal(cands, c2)
+    np.testing.assert_array_equal(labels, l2)
+
+
+def test_eval_candidates_tie_break_is_not_optimistic():
+    """A constant scorer must NOT look perfect. The reference scores
+    positives-first lists with torch.topk (ncf/trainer.py:213), whose
+    low-index tie-break hands a degenerate (all-tied) scorer a perfect
+    NDCG — and HPO maximization then selects it. The keyed per-row
+    shuffle gives ties their unbiased expectation."""
+    import jax
+
+    from pmgt_tpu.data.interactions import InteractionData
+
+    rng = np.random.default_rng(0)
+    num_users, num_items, k = 400, 200, 20
+    pairs = np.stack(
+        [
+            np.arange(num_users, dtype=np.int32),
+            rng.integers(0, num_items, num_users).astype(np.int32),
+        ],
+        axis=1,
+    )
+    data = InteractionData.build(pairs, num_users, num_items)
+    _, cands, mask, labels = build_eval_candidates(
+        data, num_ng=100, key=jax.random.key(3)
+    )
+    # constant scores + low-index tie-break = take the first k slots
+    hit_at_k = labels[:, :k].sum() / num_users
+    # expectation of a random ranking: k / 100 = 0.2 positives in top-20
+    assert hit_at_k < 0.5, (
+        f"degenerate scorer still ranks positives optimistically: {hit_at_k}"
+    )
 
 
 def test_eval_candidates_more_positives_than_ng():
@@ -74,7 +110,8 @@ def test_eval_candidates_more_positives_than_ng():
     )
     # valid count = max(num_ng, num_pos) = 4, no negatives added
     assert int(mask[0].sum()) == 4
-    np.testing.assert_array_equal(labels[0, :4], 1.0)
+    assert labels[0, :4].sum() == 4
+    assert set(cands[0, :4].tolist()) == set(range(4))
 
 
 def test_native_roundtrip(tmp_path):
@@ -311,11 +348,19 @@ def test_eval_candidates_chunked_path():
     )
     assert cands.shape == (num_users, 3)
     np.testing.assert_array_equal(users, np.arange(num_users))
-    # slot 0 = the positive, slots 1-2 negatives that avoid it
-    np.testing.assert_array_equal(cands[:, 0], data.user_pos[:, 0])
-    np.testing.assert_array_equal(labels[:, 0], 1.0)
+    # exactly one positive per row (wherever the shuffle put it), and
+    # the negatives avoid it — across chunk boundaries
+    np.testing.assert_array_equal(labels.sum(1), 1.0)
+    pos_slot = labels.argmax(1)
+    rows = np.arange(num_users)
+    np.testing.assert_array_equal(
+        cands[rows, pos_slot], data.user_pos[:, 0]
+    )
     np.testing.assert_array_equal(mask.sum(1), 3.0)
-    assert not (cands[:, 1:] == cands[:, :1]).any()
+    neg_mask = labels == 0
+    assert not (
+        (cands == data.user_pos[:, :1]) & neg_mask
+    ).any()
 
 
 def test_ng_sample_uniform_over_complement():
