@@ -67,11 +67,13 @@ DRAW_IMPL = "auto"
 # force a path for A/Bs.
 TOPK_IMPL = "auto"
 ITERATIVE_TOPK_MAX_K = 16
-# Boundary between the measured iterative win at 10,836 rows and the
-# measured loss at 65,536 rows. NOTE: 32,768 is an untested midpoint —
-# the crossover inside (10,836, 65,536) has not been pinned by an A/B;
-# workloads tracing in that gap may take the slower path. Pin it with
-# tools/ab_refresh.py --num-nodes 32768 --ab topk before relying on it.
+# Boundary between the measured iterative wins (10,836 and 32,768
+# rows) and the measured loss at 65,536 rows. Round-4 interleaved A/B
+# at exactly 32,768 rows (tools/ab_refresh.py --num-nodes 32768 --ab
+# topk): iterative 44.97 vs xla 54.91 ms/refresh median, iterative
+# faster every rep — so the boundary is inclusive-safe; the true
+# crossover sits somewhere in (32,768, 65,536), where no production
+# workload traces (the chunked refresh chunks at exactly 65,536).
 ITERATIVE_TOPK_MAX_ROWS = 32_768
 
 def _draw_path(graph: PaddedGraph) -> str:
