@@ -310,12 +310,13 @@ def train_dcn(ctx: click.Context, **raw_args):
 )
 @click.option(
     "--feat-tables-dtype",
-    type=click.Choice(["float32", "bfloat16"]),
+    type=click.Choice(["float32", "bfloat16", "int8"]),
     default=None,
     help="storage dtype of the frozen feature tables (bfloat16 halves "
     "HBM footprint and the per-step full-table projection read; default "
     "bfloat16 when --mp-enabled — numerically identical there — else "
-    "float32)",
+    "float32; int8 = symmetric per-row quantization, halving storage "
+    "and gather traffic again at a bounded max|row|/254 feature error)",
 )
 @click.pass_context
 def train_pmgt(ctx: click.Context, **raw_args):
@@ -352,6 +353,14 @@ def train_pmgt(ctx: click.Context, **raw_args):
     type=click.Choice(["auto", "project_tables", "gather_rows"]),
     default="auto",
     help="multimodal-fusion dataflow; auto picks by node count",
+)
+@click.option(
+    "--feat-tables-dtype",
+    type=click.Choice(["float32", "bfloat16", "int8"]),
+    default=None,
+    help="storage dtype of the frozen feature tables feeding the PMGT "
+    "item tower (same lever as train-pmgt; default bfloat16 when "
+    "--mp-enabled else float32)",
 )
 @click.option("--topk", type=click.INT, default=100,
               help="inference mode: items per user in the serving export")

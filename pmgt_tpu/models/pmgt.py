@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pmgt_tpu.core.config import PMGTConfig
+from pmgt_tpu.core.quant import dense_table, table_rows
 from pmgt_tpu.graph.container import NUM_SPECIAL_NODES
 from pmgt_tpu.sampling.pairs import PretrainBatch
 
@@ -34,11 +35,15 @@ def _additive_mask(attention_mask: Array, dtype) -> Array:
     return ((1.0 - attention_mask) * big_neg).astype(dtype)
 
 
-def lookup_rows(feat_tables: Sequence[Array], ids: Array) -> List[Array]:
+def lookup_rows(
+    feat_tables: Sequence[Array], ids: Array, dtype=None
+) -> List[Array]:
     """Per-modality raw feature-row lookup (reference
     pmgt/pmgt/utils.py:43-50) — the gather_rows dataflow's table read,
-    shared by the pretrain encoder and the PMGT_NCF head."""
-    return [jnp.asarray(t)[ids] for t in feat_tables]
+    shared by the pretrain encoder and the PMGT_NCF head. Accepts plain
+    or int8 row-quantized tables (core/quant.py); pass the compute dtype
+    so quantized rows dequantize without an f32 detour."""
+    return [table_rows(t, ids, dtype) for t in feat_tables]
 
 
 def _normal_init(std: float):
@@ -99,7 +104,7 @@ class PMGTEmbeddings(nn.Module):
         [N+2, H] (one big MXU matmul per modality)."""
         dtype = jnp.dtype(self.config.dtype)
         return [
-            dense(jnp.asarray(t).astype(dtype))
+            dense(dense_table(t, dtype))
             for dense, t in zip(self.feat_linear, feat_tables)
         ]
 
@@ -601,7 +606,9 @@ class PMGTForPreTraining(nn.Module):
         rows and project only those — see PMGTConfig.fusion_strategy.
         """
         if self.config.fusion_strategy == "gather_rows":
-            feat_embeds = lookup_rows(feat_tables, node_ids)
+            feat_embeds = lookup_rows(
+                feat_tables, node_ids, jnp.dtype(self.config.dtype)
+            )
             hidden, _ = self.bert(
                 feat_embeds, attention_mask, deterministic, projected=False
             )
@@ -711,7 +718,7 @@ class PMGTForPreTraining(nn.Module):
         losses = []
         for proj, table in zip(self.nfr_projections, feat_tables):
             pred = proj(ctx_hidden)  # [B, S-1, F]
-            target = jnp.asarray(table)[target_ids].astype(pred.dtype)
+            target = table_rows(table, target_ids, pred.dtype)
             sq = jnp.sum((pred - target) ** 2, axis=-1)  # [B, S-1]
             denom = jnp.maximum(count * pred.shape[-1], 1.0)
             losses.append(jnp.sum(sq * pos_mask) / denom)

@@ -78,7 +78,9 @@ class PMGT_NCF(nn.Module):
         deterministic: bool = True,
     ) -> Array:
         if self.config.fusion_strategy == "gather_rows":
-            feat_embeds = lookup_rows(feat_tables, item_node_ids)
+            feat_embeds = lookup_rows(
+                feat_tables, item_node_ids, jnp.dtype(self.config.dtype)
+            )
             hidden, _ = self.bert(
                 feat_embeds, item_attention_mask, deterministic,
                 projected=False,

@@ -36,6 +36,7 @@ from pmgt_tpu.core.mesh import (
     replicate_host,
     replicated,
 )
+from pmgt_tpu.core.quant import prepare_feat_tables
 from pmgt_tpu.data.artifacts import load_artifacts
 from pmgt_tpu.data.interactions import (
     InteractionData,
@@ -162,10 +163,17 @@ class PMGTNCFTask(ServingTopKMixin):
                 for a in artifacts.graph.runtime_view()
             )
         )
-        self.feat_tables = [
-            replicate_host(self.mesh, np.asarray(t))
-            for t in artifacts.feat_init_embs
-        ]
+        # Same storage levers as the PMGT task (float32/bfloat16/int8;
+        # bf16 is bit-same under the bf16 compute policy, so it is the
+        # default when mp is on).
+        self.feat_tables = prepare_feat_tables(
+            artifacts.feat_init_embs,
+            str(
+                e.get("feat_tables_dtype")
+                or ("bfloat16" if args.mp_enabled else "float32")
+            ),
+            self.mesh,
+        )
         self.item_to_node = replicate_host(self.mesh, _item_to_node_map(artifacts))
 
         s = self.sampling.seq_len

@@ -38,6 +38,7 @@ from pmgt_tpu.core.mesh import (
     replicate_host,
     replicated,
 )
+from pmgt_tpu.core.quant import prepare_feat_tables
 from pmgt_tpu.data.artifacts import DatasetArtifacts, load_artifacts
 from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
 from pmgt_tpu.metrics.ranking import roc_auc, stable_sigmoid
@@ -154,14 +155,18 @@ class PMGTTask:
                 for a in artifacts.graph.runtime_view()
             )
         )
-        # Frozen feature tables: replicated fp32 by default; two HBM
-        # levers for production node counts, composable and both leaving
+        # Frozen feature tables: replicated fp32 by default; three HBM
+        # levers for production node counts, composable and all leaving
         # the jitted step untouched (XLA inserts gather collectives /
         # convert ops as needed):
         #   --shard-feat-tables   row-shards the node axis over the mesh
         #   --feat-tables-dtype bfloat16   halves storage and the
         #     per-step full-table projection read (the tables are frozen
         #     inputs; losses still reduce in fp32)
+        #   --feat-tables-dtype int8   symmetric per-row quantization
+        #     (core/quant.py): halves storage AND the gather_rows raw-row
+        #     traffic again vs bf16, at a bounded max|row|/254 per-element
+        #     feature error
         # Under the bf16 compute policy the step casts the tables to bf16
         # anyway, so bf16 *storage* is numerically identical (measured:
         # bit-same loss) and just halves HBM + the projection read —
@@ -170,23 +175,12 @@ class PMGTTask:
         table_dtype = str(
             args.extra.get("feat_tables_dtype") or default_dtype
         )
-        if table_dtype not in ("float32", "bfloat16"):
-            raise ValueError(f"invalid feat_tables_dtype {table_dtype}")
-        if table_dtype == "bfloat16":
-            import ml_dtypes
-
-            cast = lambda t: np.asarray(t).astype(ml_dtypes.bfloat16)  # noqa: E731
-        else:
-            cast = lambda t: np.asarray(t)  # noqa: E731
-        if args.extra.get("shard_feat_tables"):
-            from pmgt_tpu.core.mesh import shard_rows_host
-
-            place_table = lambda t: shard_rows_host(self.mesh, t)  # noqa: E731
-        else:
-            place_table = lambda t: replicate_host(self.mesh, t)  # noqa: E731
-        self.feat_tables = [
-            place_table(cast(t)) for t in artifacts.feat_init_embs
-        ]
+        self.feat_tables = prepare_feat_tables(
+            artifacts.feat_init_embs,
+            table_dtype,
+            self.mesh,
+            shard=bool(args.extra.get("shard_feat_tables")),
+        )
 
         # Parameters + optimizer.
         init_rngs = {

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--shard-feat-tables", action="store_true",
                     help="row-shard the frozen feature tables over the "
                     "mesh (gather_rows dataflow)")
+    ap.add_argument("--feat-tables-dtype", default=None,
+                    choices=("float32", "bfloat16", "int8"),
+                    help="table storage dtype (int8 = per-row quantized, "
+                    "half of bf16's HBM — the single-chip capacity lever "
+                    "for node counts whose bf16 tables no longer fit)")
     ap.add_argument("--cpu-mesh", type=int, default=None, metavar="N",
                     help="run on a virtual N-device CPU mesh instead of "
                     "the default backend (sharding without N real chips)")
@@ -78,6 +83,8 @@ def main():
                  num_hidden_layers=5, num_attention_heads=1)
     if args.shard_feat_tables:
         extra.update(shard_feat_tables=True, fusion_strategy="gather_rows")
+    if args.feat_tables_dtype:
+        extra.update(feat_tables_dtype=args.feat_tables_dtype)
     targs = TrainArgs(
         model_name="PMGT", dataset_name="scale-smoke", seed=0,
         num_epochs=1, train_batch_size=args.batch,
@@ -91,10 +98,9 @@ def main():
     print(f"task build (tables to device, alias pack): "
           f"{time.time()-t0:.0f}s", flush=True)
 
-    total = sum(t.nbytes for t in task.feat_tables)
-    per_dev = sum(
-        t.addressable_shards[0].data.nbytes for t in task.feat_tables
-    )
+    leaves = jax.tree.leaves(task.feat_tables)
+    total = sum(l.nbytes for l in leaves)
+    per_dev = sum(l.addressable_shards[0].data.nbytes for l in leaves)
     print(f"feat tables: {total/2**20:.0f} MB total, "
           f"{per_dev/2**20:.0f} MB on device 0 "
           f"({'sharded' if args.shard_feat_tables else 'replicated'}, "
