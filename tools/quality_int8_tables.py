@@ -49,8 +49,10 @@ def run(art, dtype, epochs, batch):
     for epoch in range(epochs):
         state, epoch_losses = task.train_epoch(state, epoch)
         m = task.evaluate(state)
-        aucs.append(m["valid/auc"])
+        aucs.append(m["val/auc"])
         losses.append(float(np.mean(np.asarray(epoch_losses))))
+        print(f"[{dtype}] epoch {epoch}: loss {losses[-1]:.4f} "
+              f"val_auc {aucs[-1]:.4f}", flush=True)
     out = {
         "dtype": dtype,
         "val_auc": aucs,
