@@ -30,11 +30,51 @@ from pmgt_tpu.core.config import SamplingConfig
 from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
 from pmgt_tpu.sampling.mcn import complement_rank_select, sample_context
 
-# Node-chunk size for whole-graph refresh programs: bounds the wavefront
-# row-gather intermediate ([chunk * prod(hops[:-1]), max_deg] in
-# _alias_draw) that OOMs HBM when drawn for every node at once (measured
-# 20.5 GB at 1M nodes).
+# Node-chunk threshold for whole-graph refresh programs: above it the
+# refresh lax.maps over node chunks to bound the wavefront row-gather
+# intermediate ([chunk * prod(hops[:-1]), draw_row_lanes] in _alias_draw)
+# that OOMs HBM when drawn for every node at once (measured 20.5 GB at
+# 1M nodes). Graphs at or below the threshold keep the single-shot path
+# (bit-identical streams for every existing test/bench graph).
 REFRESH_CHUNK = 65_536
+
+def effective_refresh_chunk(
+    graph: PaddedGraph, cfg: SamplingConfig, free_bytes: Optional[int] = None
+) -> int:
+    """The node-chunk size the chunked whole-graph refresh should use.
+
+    Chunk LATENCY dominates the chunked refresh — halving the chunk at
+    100k nodes measured ~1.9x slower (381 vs 202 ms/refresh, interleaved
+    A/B, top-k impl pinned on both sides), so the full REFRESH_CHUNK is
+    kept unless memory pressure forces smaller. The hop gather output
+    and its lane-major relayout copy each transiently materialize
+    ``chunk * prod(hops[:-1]) * draw_row_lanes * 4`` bytes — ~3.4 GB
+    apiece at 65,536-node chunks and ~34 max_deg. Fine when the
+    persistent tenants are small (1M nodes / bf16 tables: ~6.3 GB on a
+    16 GB chip); an OOM when they are not (2.5M nodes). Callers that
+    know their persistent footprint (tasks, after placing tables +
+    graph) pass ``free_bytes`` — the HBM left for the refresh transient
+    — and the chunk halves (power of two, floor 8192) until both
+    materializations fit.
+    """
+    if free_bytes is None:
+        return REFRESH_CHUNK
+    wavefront = 1
+    for h in cfg.hop_sampling_sizes[:-1]:
+        wavefront *= h
+    from pmgt_tpu.sampling.mcn import _draw_path
+
+    path = _draw_path(graph)
+    lanes = {
+        "packed16": graph.draw_packed16.shape[-1],
+        "packed": graph.draw_packed.shape[-1],
+        # split path gathers three [*, max_deg] tables per frontier
+        "split": 3 * graph.nbr_ids.shape[-1],
+    }[path]
+    chunk = REFRESH_CHUNK
+    while chunk > 8192 and 2 * chunk * wavefront * lanes * 4 > free_bytes:
+        chunk //= 2
+    return chunk
 
 
 class PretrainBatch(NamedTuple):
@@ -182,6 +222,7 @@ def sample_all_contexts(
     cfg: SamplingConfig,
     num_total: int,
     all_nodes: Optional[jnp.ndarray] = None,
+    chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sample one context per node for ALL nodes → cache tables
     [N_total, S] (rows 0/1 are the special ids, context-free).
@@ -206,13 +247,19 @@ def sample_all_contexts(
         # intermediate ([N * prod(hops[:-1]), max_deg] inside
         # _alias_draw) exceeds HBM — measured 20.5 GB at 1M nodes /
         # 38 max_deg. lax.map over fixed node chunks bounds it while
-        # staying ONE dispatch; below the threshold the single-shot
-        # path is kept so existing streams stay bit-identical.
-        c = -(-num_total // REFRESH_CHUNK)
-        pad = c * REFRESH_CHUNK - num_total
+        # staying ONE dispatch; at or below the threshold the
+        # single-shot path is kept so existing streams stay
+        # bit-identical. ``chunk`` (from effective_refresh_chunk,
+        # computed by the task against its persistent HBM footprint)
+        # shrinks the per-chunk transient only under memory pressure —
+        # chunk latency dominates, so bigger is faster.
+        if chunk is None:
+            chunk = REFRESH_CHUNK
+        c = -(-num_total // chunk)
+        pad = c * chunk - num_total
         nodes_p = jnp.concatenate(
             [all_nodes, jnp.zeros((pad,), jnp.int32)]
-        ).reshape(c, REFRESH_CHUNK)
+        ).reshape(c, chunk)
         keys = jax.random.split(key, c)
 
         def one(args_):
@@ -221,8 +268,8 @@ def sample_all_contexts(
 
         ids, mask = jax.lax.map(one, (nodes_p, keys))
         s = ids.shape[-1]
-        ids = ids.reshape(c * REFRESH_CHUNK, s)[:num_total]
-        mask = mask.reshape(c * REFRESH_CHUNK, s)[:num_total]
+        ids = ids.reshape(c * chunk, s)[:num_total]
+        mask = mask.reshape(c * chunk, s)[:num_total]
     else:
         ids, mask = sample_context(graph, all_nodes, key, cfg)
     # Special rows: context-free (target-only mask).

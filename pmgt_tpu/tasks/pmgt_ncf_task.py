@@ -48,7 +48,10 @@ from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
 from pmgt_tpu.metrics.ranking import get_ndcg, get_recall
 from pmgt_tpu.models.pmgt import bce_with_logits
 from pmgt_tpu.models.pmgt_ncf import PMGT_NCF
-from pmgt_tpu.sampling.pairs import sample_all_contexts
+from pmgt_tpu.sampling.pairs import (
+    effective_refresh_chunk,
+    sample_all_contexts,
+)
 from pmgt_tpu.tasks.interaction_base import (
     ServingTopKMixin,
     TrainState,
@@ -210,9 +213,22 @@ class PMGTNCFTask(ServingTopKMixin):
         self._all_nodes = replicate_host(
             self.mesh, np.arange(n_total, dtype=np.int32)
         )
+        # Same HBM-pressure-aware refresh chunk as the PMGT task.
+        import os as _os
+
+        hbm = int(_os.environ.get("PMGT_TPU_HBM_BYTES", 16 << 30))
+        persistent = sum(
+            l.addressable_shards[0].data.nbytes
+            for l in jax.tree.leaves((self.feat_tables, self.graph))
+        )
+        refresh_chunk = effective_refresh_chunk(
+            self.graph, self.sampling,
+            max(hbm - (3 << 30) - persistent, 0),
+        )
         self._sample_all_fn = jax.jit(
             lambda graph, nodes, key: sample_all_contexts(
-                graph, key, self.sampling, n_total, all_nodes=nodes
+                graph, key, self.sampling, n_total, all_nodes=nodes,
+                chunk=refresh_chunk,
             )
         )
         self._ctx_cache = None

@@ -44,6 +44,7 @@ from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, PaddedGraph
 from pmgt_tpu.metrics.ranking import roc_auc, stable_sigmoid
 from pmgt_tpu.models.pmgt import PMGTForPreTraining
 from pmgt_tpu.sampling.pairs import (
+    effective_refresh_chunk,
     make_pretrain_batch,
     make_pretrain_batch_cached,
     sample_all_contexts,
@@ -247,9 +248,29 @@ class PMGTTask:
         def _pairs_key(seed):
             return jax.random.split(jax.random.key(seed))[1]
 
+        # Refresh chunk: the full 65,536 unless the persistent tenants
+        # (tables + graph + per-epoch caches) squeeze the chunked
+        # refresh's hop-gather transient out of HBM — chunk latency
+        # dominates, so only shrink under real memory pressure (see
+        # effective_refresh_chunk). Per-device bytes so sharded tables
+        # count at their sharded footprint.
+        hbm = int(os.environ.get("PMGT_TPU_HBM_BYTES", 16 << 30))
+        headroom = 3 << 30  # step activations, optimizer state, slack
+        persistent = sum(
+            l.addressable_shards[0].data.nbytes
+            for l in jax.tree.leaves((self.feat_tables, self.graph))
+        )
+        s_len = self.sampling.seq_len
+        p_len = self.sampling.max_total_samples
+        persistent += n_total * (8 * s_len + 12 * p_len)  # ctx + pair caches
+        self._refresh_chunk = effective_refresh_chunk(
+            self.graph, self.sampling,
+            max(hbm - headroom - persistent, 0),
+        )
         self._sample_all_fn = jax.jit(
             lambda graph, nodes, seed: sample_all_contexts(
-                graph, _ctx_key(seed), self.sampling, n_total, all_nodes=nodes
+                graph, _ctx_key(seed), self.sampling, n_total,
+                all_nodes=nodes, chunk=self._refresh_chunk,
             )
         )
         self._sample_pairs_train_fn = jax.jit(

@@ -411,3 +411,41 @@ def test_runtime_view_sampling_bit_identical(small_graph):
     trim_pairs = sample_pairs(trimmed, targets, key, CFG, True)
     for a, b in zip(full_pairs, trim_pairs):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_effective_refresh_chunk_memory_pressure(small_graph):
+    """The chunked refresh keeps the full 65,536 node chunk (chunk
+    latency dominates: halving it measured ~1.9x slower at 100k nodes)
+    unless the caller's free-HBM estimate can't hold the hop-gather
+    transient plus its relayout copy (2 * chunk * prod(hops[:-1]) *
+    draw_row_lanes * 4 bytes) — the 2.5M-node OOM case."""
+    from pmgt_tpu.sampling import pairs as pairs_mod
+    from pmgt_tpu.sampling.mcn import _draw_path
+
+    # no pressure information -> full chunk, always
+    assert (
+        pairs_mod.effective_refresh_chunk(small_graph, CFG)
+        == pairs_mod.REFRESH_CHUNK
+    )
+
+    lanes = {
+        "packed16": small_graph.draw_packed16.shape[-1],
+        "packed": small_graph.draw_packed.shape[-1],
+        "split": 3 * small_graph.nbr_ids.shape[-1],
+    }[_draw_path(small_graph)]
+    wavefront = 1
+    for h in CFG.hop_sampling_sizes[:-1]:
+        wavefront *= h
+    full = 2 * pairs_mod.REFRESH_CHUNK * wavefront * lanes * 4
+    # plenty of room -> full chunk
+    assert (
+        pairs_mod.effective_refresh_chunk(small_graph, CFG, full)
+        == pairs_mod.REFRESH_CHUNK
+    )
+    # room for exactly a quarter-chunk transient -> quarter chunk
+    assert (
+        pairs_mod.effective_refresh_chunk(small_graph, CFG, full // 4)
+        == pairs_mod.REFRESH_CHUNK // 4
+    )
+    # floor: never below 8192 regardless of pressure
+    assert pairs_mod.effective_refresh_chunk(small_graph, CFG, 0) == 8192

@@ -28,10 +28,10 @@ from pmgt_tpu.sampling import mcn
 from pmgt_tpu.sampling.pairs import sample_all_contexts, sample_all_pairs
 
 
-def build_runner(cfg, n_total, n):
+def build_runner(cfg, n_total, n, chunk=None):
     def one_refresh(graph, nodes, key):
         ids, mask = sample_all_contexts(
-            graph, key, cfg, n_total, all_nodes=nodes
+            graph, key, cfg, n_total, all_nodes=nodes, chunk=chunk
         )
         pn, pl, pv = sample_all_pairs(
             graph, jax.random.fold_in(key, 1), cfg, n_total,
@@ -58,14 +58,23 @@ def main():
     ap.add_argument("--avg-degree", type=int, default=16)
     ap.add_argument("--n", type=int, default=20)
     ap.add_argument("--reps", type=int, default=4)
-    ap.add_argument("--ab", choices=("sort", "draw", "draw16", "topk"),
+    ap.add_argument("--force-topk", choices=("iterative", "xla"),
+                    default=None,
+                    help="pin mcn.TOPK_IMPL on BOTH sides (disentangles "
+                    "the --ab chunk comparison from the row-count top-k "
+                    "gate)")
+    ap.add_argument("--ab", choices=("sort", "draw", "draw16", "topk",
+                                     "chunk"),
                     default="sort",
                     help="which knob to A/B: the segment-sort impl "
                     "(packed vs variadic), the row-draw gather impl "
                     "(fused draw_packed vs legacy three-gather split), "
                     "the narrow 16-bit-id row layout (draw_packed16 vs "
-                    "draw_packed), or the scorer top-k impl (iterated "
-                    "masked argmax vs XLA's sort-based lax.top_k)")
+                    "draw_packed), the scorer top-k impl (iterated "
+                    "masked argmax vs XLA's sort-based lax.top_k), or "
+                    "the adaptive refresh chunk (fixed 65,536 vs the "
+                    "budgeted size; only meaningful with "
+                    "--num-nodes > 65,536)")
     args = ap.parse_args()
 
     from pmgt_tpu.graph import container
@@ -87,31 +96,52 @@ def main():
     nodes = jnp.arange(n_total, dtype=jnp.int32)
     key = jax.random.key(11)
 
+    from pmgt_tpu.sampling import pairs as pairs_mod
+
     if args.ab == "sort":
-        knob, variants = "SORT_IMPL", (
+        target, knob, variants = mcn, "SORT_IMPL", (
             ("A:packed", "packed"), ("B:variadic", "variadic")
         )
     elif args.ab == "topk":
-        knob, variants = "TOPK_IMPL", (
+        target, knob, variants = mcn, "TOPK_IMPL", (
             ("A:iterative", "iterative"), ("B:xla", "xla")
         )
     elif args.ab == "draw16":
-        knob, variants = "DRAW_IMPL", (
+        target, knob, variants = mcn, "DRAW_IMPL", (
             ("A:packed", "packed"), ("B:packed16", "packed16")
         )
+    elif args.ab == "chunk":
+        # A = the full 65,536 chunk, B = a halved 32,768 chunk (the
+        # memory-pressure fallback). Measured verdict (100k nodes, n=10,
+        # 4 reps, every rep, with --force-topk xla to rule the top-k
+        # gate out): B is ~1.9x SLOWER (381 vs 202 ms/refresh) — chunk
+        # latency dominates, so effective_refresh_chunk only shrinks
+        # under real HBM pressure.
+        target, knob, variants = (
+            pairs_mod, "_AB_CHUNK",
+            (("A:chunk65536", None), ("B:chunk32768", 32768)),
+        )
     else:
-        knob, variants = "DRAW_IMPL", (
+        target, knob, variants = mcn, "DRAW_IMPL", (
             ("A:packed", "packed"), ("B:split", "split")
         )
+    knob_default = getattr(target, knob, None)
+    if args.force_topk:
+        mcn.TOPK_IMPL = args.force_topk
     runners = {}
     for name, impl in variants:
-        setattr(mcn, knob, impl)
-        fn = build_runner(cfg, n_total, args.n)
+        setattr(target, knob, impl)
+        chunk = impl if args.ab == "chunk" else None
+        if args.ab == "chunk":
+            print(f"{name}: chunk = {chunk or pairs_mod.REFRESH_CHUNK}",
+                  flush=True)
+        fn = build_runner(cfg, n_total, args.n, chunk=chunk)
         t0 = time.time()
         float(fn(graph, nodes, key))  # traces NOW with the knob set
         print(f"{name}: compiled+warm in {time.time()-t0:.0f}s", flush=True)
         runners[name] = fn
-    setattr(mcn, knob, "auto")
+    if knob_default is not None:
+        setattr(target, knob, knob_default)
 
     samples = {n: [] for n in runners}
     r = 0

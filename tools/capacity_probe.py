@@ -109,6 +109,45 @@ def run_variant(art, dtype, batch, epochs):
     return res
 
 
+def _load_or_make(num_nodes, avg_degree, cache_dir):
+    from pmgt_tpu.data.artifacts import DatasetArtifacts
+    from pmgt_tpu.data.synthetic import make_synthetic_dataset
+    from pmgt_tpu.graph.container import PaddedGraph
+
+    path = (
+        os.path.join(cache_dir, f"synth_{num_nodes}_{avg_degree}.npz")
+        if cache_dir else None
+    )
+    if path and os.path.exists(path):
+        z = np.load(path)
+        return DatasetArtifacts(
+            graph=PaddedGraph(
+                *(z[f"g_{f}"] for f in PaddedGraph._fields)
+            ),
+            feat_init_embs=[z["feat_0"], z["feat_1"]],
+            train_pairs=z["train_pairs"],
+            test_pairs=z["test_pairs"],
+            num_users=int(z["num_users"]),
+            num_items=int(z["num_items"]),
+        )
+    art = make_synthetic_dataset(
+        num_nodes=num_nodes, num_users=100, feat_dims=(1536, 768),
+        interactions_per_user=2, avg_degree=avg_degree, seed=0,
+    )
+    if path:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(
+            path,
+            **{f"g_{f}": np.asarray(a)
+               for f, a in zip(PaddedGraph._fields, art.graph)},
+            feat_0=art.feat_init_embs[0], feat_1=art.feat_init_embs[1],
+            train_pairs=art.train_pairs, test_pairs=art.test_pairs,
+            num_users=art.num_users, num_items=art.num_items,
+        )
+        print(f"cached dataset at {path}", flush=True)
+    return art
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-nodes", type=int, default=2_500_000)
@@ -117,15 +156,14 @@ def main():
     ap.add_argument("--avg-degree", type=int, default=16)
     ap.add_argument("--dtypes", default="bfloat16,int8")
     ap.add_argument("--out", default=None, help="write results JSON here")
+    ap.add_argument("--cache-dir", default=None,
+                    help="npz-cache the generated dataset here (multi-"
+                    "million-node generation is tens of minutes on one "
+                    "CPU; the npz round-trip is tens of seconds)")
     args = ap.parse_args()
 
-    from pmgt_tpu.data.synthetic import make_synthetic_dataset
-
     t0 = time.time()
-    art = make_synthetic_dataset(
-        num_nodes=args.num_nodes, num_users=100, feat_dims=(1536, 768),
-        interactions_per_user=2, avg_degree=args.avg_degree, seed=0,
-    )
+    art = _load_or_make(args.num_nodes, args.avg_degree, args.cache_dir)
     gen_s = round(time.time() - t0)
     print(f"synthetic dataset ({args.num_nodes} nodes): {gen_s}s", flush=True)
 
