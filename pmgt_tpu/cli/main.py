@@ -214,6 +214,10 @@ def _dispatch(ctx: click.Context, train_name: str, raw_args: Dict):
 @click.option("--normalize-item-init-emb", is_flag=True, default=False)
 @click.option("--topk", type=click.INT, default=100,
               help="inference mode: items per user in the serving export")
+@click.option("--reference-tiebreak", is_flag=True, default=False,
+              help="score eval candidates positives-first with low-index "
+                   "tie-break, exactly like the reference (optimistic on "
+                   "tied scores; for ±1% published-number comparisons only)")
 @click.pass_context
 def train_ncf(ctx: click.Context, **raw_args):
     """Train NCF (GMF / MLP / NeuMF-end / NeuMF-pre)."""
@@ -369,6 +373,10 @@ def train_pmgt(ctx: click.Context, **raw_args):
               "user_batch x item_chunk encoder forwards)")
 @click.option("--serve-item-chunk", type=click.INT, default=1024,
               help="inference mode: catalog chunk per serving tile")
+@click.option("--reference-tiebreak", is_flag=True, default=False,
+              help="score eval candidates positives-first with low-index "
+                   "tie-break, exactly like the reference (optimistic on "
+                   "tied scores; for ±1% published-number comparisons only)")
 @click.pass_context
 def train_pmgt_ncf(ctx: click.Context, **raw_args):
     """Train PMGT_NCF (end-to-end PMGT item tower inside NCF)."""

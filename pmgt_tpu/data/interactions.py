@@ -215,13 +215,26 @@ def epoch_training_arrays(
 
 
 def build_eval_candidates(
-    data: InteractionData, num_ng: int, key: jax.Array
+    data: InteractionData,
+    num_ng: int,
+    key: jax.Array,
+    reference_tiebreak: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Per-user ranking candidates: all of the user's positives first, then
     sampled negatives up to ``num_ng`` total candidates (reference
     ncf/datasets.py:106-128; ``num_ng`` is ``max_sample_items``). Users with
     more positives than ``num_ng`` keep them all and get no negatives —
     valid count = max(num_ng, #pos), exactly the reference's list length.
+
+    Args:
+        reference_tiebreak: when True, keep the reference's EXACT candidate
+            layout — positives first, so top-k's low-index tie-break favors
+            positives (reference ncf/trainer.py:213 + ncf/datasets.py:106-128).
+            This reproduces the reference's optimistic scoring of tied
+            candidates (a constant scorer ranks perfectly); use it only for
+            ±1%-gate comparisons against published numbers, where the
+            protocol must match the reference bit-for-bit. Default False
+            applies the keyed per-row shuffle documented below.
 
     Returns:
         users: [U] int32 (the split's users, sorted).
@@ -282,6 +295,8 @@ def build_eval_candidates(
     candidates = np.where(is_pos, pos_padded, negs).astype(np.int32)
     labels = is_pos.astype(np.float32)
     cand_mask = (col < valid[:, None]).astype(np.float32)
+    if reference_tiebreak:
+        return users, candidates, cand_mask, labels
     # Shuffle each row's valid slots (keyed, deterministic per split).
     # The reference scores candidate lists positives-FIRST and
     # torch.topk / lax.top_k break ties toward the lower index

@@ -458,7 +458,12 @@ class PMGTNCFTask(ServingTopKMixin):
                 np.uint32(self.args.seed * 17 + (split == "test"))
             )
             users, candidates, cand_mask, labels = build_eval_candidates(
-                data, self.args.extra.get("max_sample_items", 1000), key
+                data,
+                self.args.extra.get("max_sample_items", 1000),
+                key,
+                reference_tiebreak=bool(
+                    self.args.extra.get("reference_tiebreak", False)
+                ),
             )
             n, _, dev = chunk_eval_inputs(
                 self.mesh,

@@ -455,3 +455,54 @@ def test_published_shape_signal_only_reshapes_interactions():
     n_b = len(b.train_pairs) + len(b.test_pairs)
     assert n_a == n_b
     assert not np.array_equal(a.train_pairs, b.train_pairs)
+
+
+def test_eval_candidates_reference_tiebreak():
+    """--reference-tiebreak restores the reference's exact candidate
+    layout: positives occupy the leading slots so a constant scorer +
+    low-index tie-break ranks them perfectly (reference
+    ncf/trainer.py:213 + ncf/datasets.py:106-128). Default mode shuffles
+    them away from the optimistic layout."""
+    import jax
+
+    from pmgt_tpu.data.interactions import InteractionData, build_eval_candidates
+
+    rng = np.random.default_rng(11)
+    num_users, num_items = 64, 200
+    pairs = np.stack(
+        [
+            np.repeat(np.arange(num_users, dtype=np.int32), 3),
+            rng.integers(0, num_items, num_users * 3).astype(np.int32),
+        ],
+        axis=1,
+    )
+    data = InteractionData.build(pairs, num_users, num_items)
+    key = jax.random.key(7)
+    users, cands, mask, labels = build_eval_candidates(
+        data, num_ng=20, key=key, reference_tiebreak=True
+    )
+    counts = data.user_pos_count
+    # positives-first layout: labels are a prefix of ones per row
+    col = np.arange(labels.shape[1])[None, :]
+    np.testing.assert_array_equal(labels, (col < counts[:, None]).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.sort(cands[0, : counts[0]]), data.user_pos[0, : counts[0]]
+    )
+    # same key without the flag: identical candidate SETS, shuffled rows
+    users2, cands2, mask2, labels2 = build_eval_candidates(
+        data, num_ng=20, key=key, reference_tiebreak=False
+    )
+    np.testing.assert_array_equal(mask, mask2)
+    for r in range(num_users):
+        valid = mask[r] == 1
+        np.testing.assert_array_equal(
+            np.sort(cands[r][valid]), np.sort(cands2[r][valid])
+        )
+    assert not np.array_equal(labels, labels2)  # at least one row moved
+    # the artifact itself: a CONSTANT scorer's top-k under low-index
+    # tie-break hits only positives in reference mode
+    top = np.argsort(-np.where(mask > 0, 0.0, -np.inf), axis=1, kind="stable")[:, :1]
+    hits = np.take_along_axis(labels, top, axis=1)
+    assert hits.min() == 1.0  # perfect "ranking" — the reference's bug
+    hits2 = np.take_along_axis(labels2, top, axis=1)
+    assert hits2.mean() < 1.0  # shuffled mode breaks it

@@ -320,6 +320,13 @@ def ncf_args(dataset, data_root, log_dir, emb_path, **over):
             num_ng=1,
             item_init_emb_path=emb_path,
             normalize_item_init_emb=True,
+            # The ±1% gate against published numbers must run the
+            # reference's EXACT eval protocol, including its
+            # positives-first + low-index tie-break (which is optimistic
+            # on tied scores) — otherwise a tie-heavy scorer could
+            # confound the 1% margin (reference ncf/trainer.py:213,
+            # ncf/datasets.py:106-128).
+            reference_tiebreak=True,
         ),
     )
     extra = dict(base["extra"], **over.pop("extra", {}))
