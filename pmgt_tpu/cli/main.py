@@ -304,6 +304,15 @@ def train_dcn(ctx: click.Context, **raw_args):
     "collectives)",
 )
 @click.option(
+    "--shard-graph-tables",
+    is_flag=True,
+    default=False,
+    help="row-shard the per-node graph tables (packed draw rows, neighbor "
+    "rows, sorted-member rows) over the device mesh like "
+    "--shard-feat-tables; beyond ~2M nodes they are the dominant "
+    "unsharded HBM tenant",
+)
+@click.option(
     "--fusion-strategy",
     type=click.Choice(["auto", "project_tables", "gather_rows"]),
     default="auto",
@@ -365,6 +374,13 @@ def train_pmgt(ctx: click.Context, **raw_args):
     help="storage dtype of the frozen feature tables feeding the PMGT "
     "item tower (same lever as train-pmgt; default bfloat16 when "
     "--mp-enabled else float32)",
+)
+@click.option(
+    "--shard-graph-tables",
+    is_flag=True,
+    default=False,
+    help="row-shard the per-node graph tables over the device mesh "
+    "(same lever as train-pmgt)",
 )
 @click.option("--topk", type=click.INT, default=100,
               help="inference mode: items per user in the serving export")

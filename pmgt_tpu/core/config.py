@@ -137,6 +137,12 @@ class SamplingConfig:
     hop_sampling_sizes: Tuple[int, ...] = (16, 8, 4)
     max_total_samples: int = 10  # pos + neg pairs per target (training)
     min_neg_samples: int = 5
+    # True graph row count (N + special rows). When the per-node graph
+    # tables are row-sharded over the mesh their leading axis is padded
+    # to a device multiple, so samplers must NOT derive the node universe
+    # from array shapes — the complement negative sampler would count
+    # phantom padding ids. None = unpadded tables; derive from shape.
+    num_total: Optional[int] = None
 
     def __post_init__(self):
         object.__setattr__(

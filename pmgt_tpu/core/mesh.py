@@ -131,6 +131,49 @@ def shard_rows_host(mesh: Mesh, array) -> jax.Array:
     )
 
 
+def place_graph(mesh: Mesh, graph, shard: bool = False):
+    """Device-place a ``PaddedGraph`` (pass ``runtime_view()`` output).
+
+    ``shard=False`` replicates every array (the single-chip / small-graph
+    default). ``shard=True`` row-shards the per-node tables over the data
+    axis the same way ``--shard-feat-tables`` shards the feature tables:
+    beyond ~2M nodes the draw tables (``draw_packed``/``draw_packed16``)
+    and neighbor rows are the dominant *unsharded* HBM tenant
+    (capacity_probe: 2.5M nodes OOM with tables+graph persistent at
+    7.1 GB even at int8) — sharding them removes the per-chip graph
+    ceiling, trading an XLA-inserted gather collective over ICI per hop,
+    exactly the feature-table deal (SURVEY §2.4).
+
+    Shard rule: any array whose leading axis is the node axis — 2-D
+    ``[N+2, ...]`` row tables and the flat ``[(N+2)*max_deg]`` element
+    tables (node-major, so row-sharding keeps each node's slots on one
+    device). 1-element placeholders and the tiny ``degrees`` vector
+    (4 B/node) stay replicated: every wavefront step reads ``degrees``
+    for its whole frontier, and at 4 B/node it is never the tenant that
+    matters.
+    """
+    import numpy as np  # local: keep module import surface unchanged
+
+    if not shard:
+        return type(graph)(
+            *(replicate_host(mesh, np.asarray(a)) for a in graph)
+        )
+    n_total = int(np.shape(graph.nbr_ids)[0])
+    max_deg = int(np.shape(graph.nbr_ids)[1])
+    flat_len = n_total * max_deg
+
+    def _place(a):
+        a = np.asarray(a)
+        rows = a.shape[0] if a.ndim else 0
+        if a.ndim >= 2 and rows == n_total:
+            return shard_rows_host(mesh, a)
+        if a.ndim == 1 and rows == flat_len:
+            return shard_rows_host(mesh, a)
+        return replicate_host(mesh, a)
+
+    return type(graph)(*(_place(a) for a in graph))
+
+
 def make_mesh(
     num_devices: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,

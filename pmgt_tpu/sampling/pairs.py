@@ -109,7 +109,10 @@ def sample_pairs(
     """
     nbr_ids = jnp.asarray(graph.nbr_ids)
     degrees = jnp.asarray(graph.degrees)
-    n_total = nbr_ids.shape[0]
+    # cfg.num_total: the TRUE node universe — sharded graph tables pad
+    # their leading axis to a device multiple, and counting the padding
+    # into the complement would draw phantom ids as negatives.
+    n_total = cfg.num_total or nbr_ids.shape[0]
     batch = targets.shape[0]
 
     max_pos = (

@@ -32,6 +32,7 @@ from pmgt_tpu.core.mesh import (
     batch_sharding,
     gather_to_host,
     make_mesh,
+    place_graph,
     put_along_data_axis,
     replicate_host,
     replicated,
@@ -147,6 +148,8 @@ class PMGTNCFTask(ServingTopKMixin):
         self.sampling = SamplingConfig(
             max_ctx_neigh=e.get("max_ctx_neigh", 5),
             hop_sampling_sizes=tuple(e.get("hop_sampling_sizes", (16, 8, 4))),
+            # True row count, pre-placement (--shard-graph-tables pads).
+            num_total=artifacts.graph.num_total,
         )
         self.model = PMGT_NCF(
             user_num=train_data.num_users,
@@ -159,12 +162,13 @@ class PMGTNCFTask(ServingTopKMixin):
             model=args.model_name,
         )
 
-        # runtime_view drops build-only arrays before device placement.
-        self.graph = PaddedGraph(
-            *(
-                replicate_host(self.mesh, np.asarray(a))
-                for a in artifacts.graph.runtime_view()
-            )
+        # runtime_view drops build-only arrays before device placement;
+        # --shard-graph-tables row-shards the per-node tables over the
+        # mesh (core/mesh.place_graph).
+        self.graph = place_graph(
+            self.mesh,
+            artifacts.graph.runtime_view(),
+            shard=bool(args.extra.get("shard_graph_tables")),
         )
         # Same storage levers as the PMGT task (float32/bfloat16/int8;
         # bf16 is bit-same under the bf16 compute policy, so it is the
@@ -209,7 +213,7 @@ class PMGTNCFTask(ServingTopKMixin):
             params, replicate_host(self.mesh, self.tx.init(params))
         )
 
-        n_total = self.graph.nbr_ids.shape[0]
+        n_total = self.sampling.num_total  # true rows (placed may be padded)
         self._all_nodes = replicate_host(
             self.mesh, np.arange(n_total, dtype=np.int32)
         )

@@ -34,6 +34,7 @@ from pmgt_tpu.core.mesh import (
     gather_to_host,
     make_mesh,
     pad_to_multiple,
+    place_graph,
     put_along_data_axis,
     replicate_host,
     replicated,
@@ -139,6 +140,10 @@ class PMGTTask:
             ),
             max_total_samples=args.extra.get("max_total_samples", 10),
             min_neg_samples=args.extra.get("min_neg_samples", 5),
+            # The true row count, captured BEFORE device placement:
+            # --shard-graph-tables pads the placed tables' node axis to a
+            # device multiple (core/mesh.place_graph).
+            num_total=artifacts.graph.num_total,
         )
         self.model = PMGTForPreTraining(
             config=self.config,
@@ -147,14 +152,16 @@ class PMGTTask:
             mask_node_ratio=args.extra.get("mask_node_ratio", 0.16),
         )
 
-        # Device placement: graph + frozen feature tables replicated.
-        # runtime_view drops the build-only arrays (nbr_logits /
-        # alias_prob / alias_idx) before they cost per-device HBM.
-        self.graph = PaddedGraph(
-            *(
-                replicate_host(self.mesh, np.asarray(a))
-                for a in artifacts.graph.runtime_view()
-            )
+        # Device placement: frozen feature tables + graph. runtime_view
+        # drops the build-only arrays (nbr_logits / alias_prob /
+        # alias_idx) before they cost per-device HBM. --shard-graph-tables
+        # row-shards the per-node draw/neighbor tables over the mesh —
+        # beyond ~2M nodes they are the dominant unsharded tenant
+        # (core/mesh.place_graph).
+        self.graph = place_graph(
+            self.mesh,
+            artifacts.graph.runtime_view(),
+            shard=bool(args.extra.get("shard_graph_tables")),
         )
         # Frozen feature tables: replicated fp32 by default; three HBM
         # levers for production node counts, composable and all leaving
@@ -230,7 +237,7 @@ class PMGTTask:
         self.use_ctx_cache = bool(args.extra.get("ctx_cache", True))
         self._ctx_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self._ctx_cache_tag: Optional[Tuple] = None
-        n_total = self.graph.nbr_ids.shape[0]
+        n_total = self.sampling.num_total  # true rows (placed may be padded)
         # Graph arrays are jit ARGUMENTS, not captured constants: TPU
         # dynamic gather only hits its fast path on unmodified program
         # parameters (captured operands measured ~1000x slower).

@@ -165,6 +165,77 @@ def test_sharded_feat_tables_parity(art, fusion):
     assert m_sh["val/auc"] == pytest.approx(m_rep["val/auc"], abs=2e-4)
 
 
+def test_sharded_graph_tables_parity(art):
+    """--shard-graph-tables: row-sharding the per-node graph tables
+    (padded to a device multiple by core/mesh.place_graph) changes
+    neither the sampled streams nor the losses. The 42-row graph pads to
+    48 rows on the 8-device mesh, so this exercises exactly the padding
+    hazard: the complement negative sampler must keep counting the TRUE
+    node universe (SamplingConfig.num_total), not the padded shape."""
+    from pmgt_tpu.core.config import TrainArgs
+    from pmgt_tpu.tasks.pmgt_task import PMGTTask
+
+    def build(shard):
+        args = TrainArgs(
+            model_name="PMGT",
+            dataset_name="syn",
+            seed=0,
+            num_epochs=1,
+            train_batch_size=16,
+            test_batch_size=16,
+            lr=1e-2,
+            num_devices=8,
+            extra=dict(
+                hidden_size=8,
+                intermediate_size=8,
+                num_hidden_layers=1,
+                hop_sampling_sizes=(3, 2),
+                max_ctx_neigh=3,
+                shard_graph_tables=shard,
+                # compose with the feature-table lever: the production
+                # beyond-one-chip configuration shards both tenants
+                shard_feat_tables=shard,
+                fusion_strategy="gather_rows",
+            ),
+        )
+        nodes = np.arange(2, 42, dtype=np.int32)
+        return PMGTTask(args, art, nodes[:32], nodes[32:])
+
+    task_rep = build(False)
+    task_sh = build(True)
+
+    # Per-node tables are sharded (leading axis padded 42 -> 48); the
+    # tiny degrees vector and 1-row placeholders stay replicated.
+    g = task_sh.graph
+    for name in ("nbr_ids", "nbr_sorted", "draw_packed16"):
+        t = getattr(g, name)
+        if t.shape[0] <= 1:
+            continue  # placeholder (draw impl resolved to another table)
+        assert t.sharding.spec == jax.sharding.PartitionSpec("data"), name
+        assert t.shape[0] == 48
+        assert t.addressable_shards[0].data.shape[0] == 6
+    assert g.degrees.sharding.spec == jax.sharding.PartitionSpec()
+    assert g.degrees.shape[0] == 42  # replicated arrays are not padded
+
+    # sampling must still see the true universe, not the padded rows
+    assert task_sh.sampling.num_total == 42
+
+    for task in (task_rep, task_sh):
+        losses = []
+        state = task.state
+        task.on_epoch_start(0)
+        for batch in task.train_batches(0):
+            state, metrics = task.train_step(state, batch)
+            losses.append(float(jax.device_get(metrics["loss"])))
+        task.state = state
+        task.losses = losses
+    np.testing.assert_allclose(task_rep.losses, task_sh.losses, rtol=2e-4)
+
+    m_rep = task_rep.evaluate(task_rep.state, "valid")
+    m_sh = task_sh.evaluate(task_sh.state, "valid")
+    assert m_sh["val/auc"] == pytest.approx(m_rep["val/auc"], abs=2e-4)
+
+
 def test_bf16_feat_tables(art):
     """--feat-tables-dtype bfloat16: the step runs with half-width frozen
     tables and the loss stays close to the fp32-table loss."""

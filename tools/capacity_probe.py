@@ -26,22 +26,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_variant(art, dtype, batch, epochs):
+def run_variant(art, dtype, batch, epochs, shard=False, num_devices=None,
+                max_steps=None):
     import jax
 
     from pmgt_tpu.core.config import TrainArgs
     from pmgt_tpu.tasks.pmgt_task import PMGTTask
 
-    res = {"dtype": dtype}
+    res = {"dtype": dtype, "shard": bool(shard)}
     try:
         targs = TrainArgs(
             model_name="PMGT", dataset_name="capacity", seed=0,
             num_epochs=1, train_batch_size=batch, test_batch_size=batch,
             lr=1e-4, mp_enabled=True, gradient_max_norm=5.0,
+            num_devices=num_devices,
             extra=dict(
                 hidden_size=128, intermediate_size=128,
                 num_hidden_layers=5, num_attention_heads=1,
                 feat_tables_dtype=dtype,
+                shard_feat_tables=shard,
+                shard_graph_tables=shard,
             ),
         )
         nodes = np.arange(2, art.num_nodes + 2, dtype=np.int32)
@@ -53,9 +57,42 @@ def run_variant(art, dtype, batch, epochs):
             l.nbytes for l in jax.tree.leaves(task.graph)
         ) / 2**30
         res["graph_gb"] = round(graph_gb, 2)
+        # Per-device PERSISTENT footprint — the number a 16 GB chip must
+        # hold between steps. With --shard, the per-node tables (features
+        # + graph) split ~1/mesh over the data axis.
+        res["per_device_gb"] = round(
+            sum(
+                l.addressable_shards[0].data.nbytes
+                for l in jax.tree.leaves((task.feat_tables, task.graph))
+            ) / 2**30,
+            3,
+        )
         print(f"[{dtype}] task built in {time.time()-t0:.0f}s: tables "
-              f"{res['table_gb']} GB, graph {res['graph_gb']} GB",
+              f"{res['table_gb']} GB, graph {res['graph_gb']} GB, "
+              f"per-device persistent {res['per_device_gb']} GB",
               flush=True)
+
+        if max_steps is not None:
+            # Bounded fit probe (virtual CPU meshes: full multi-million-
+            # node epochs are hours of host compute; placement + refresh
+            # + real optimizer steps are the fit evidence).
+            t0 = time.time()
+            task.on_epoch_start(0)
+            res["refresh_s"] = round(time.time() - t0, 1)
+            it = iter(task.train_batches(0))
+            losses = []
+            t0 = time.time()
+            for _ in range(max_steps):
+                task.state, metrics = task.train_step(task.state, next(it))
+                losses.append(float(jax.device_get(metrics["loss"])))
+            res["steps"] = max_steps
+            res["step_s"] = round((time.time() - t0) / max_steps, 2)
+            res["losses"] = [round(l, 4) for l in losses]
+            res["ok"] = bool(np.all(np.isfinite(losses)))
+            print(f"[{dtype}] refresh {res['refresh_s']}s + {max_steps} "
+                  f"steps at {res['step_s']}s/step, losses {res['losses']}",
+                  flush=True)
+            return res
 
         def epoch(e):
             t0 = time.time()
@@ -160,7 +197,30 @@ def main():
                     help="npz-cache the generated dataset here (multi-"
                     "million-node generation is tens of minutes on one "
                     "CPU; the npz round-trip is tens of seconds)")
+    ap.add_argument("--shard", action="store_true",
+                    help="row-shard feature AND graph tables over the "
+                    "device mesh (--shard-feat-tables + "
+                    "--shard-graph-tables)")
+    ap.add_argument("--num-devices", type=int, default=None)
+    ap.add_argument("--virtual-cpu-mesh", type=int, default=None,
+                    metavar="N",
+                    help="probe on an N-device virtual CPU mesh instead "
+                    "of the real chip (multi-chip fit evidence without "
+                    "multi-chip hardware; implies --num-devices N)")
+    ap.add_argument("--max-steps", type=int, default=None,
+                    help="bounded probe: refresh + this many optimizer "
+                    "steps instead of full epochs (use on CPU meshes)")
     args = ap.parse_args()
+
+    if args.virtual_cpu_mesh:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual_cpu_mesh}"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.num_devices = args.virtual_cpu_mesh
 
     t0 = time.time()
     art = _load_or_make(args.num_nodes, args.avg_degree, args.cache_dir)
@@ -171,8 +231,12 @@ def main():
         "num_nodes": args.num_nodes,
         "batch": args.batch,
         "gen_s": gen_s,
+        "shard": args.shard,
+        "num_devices": args.num_devices,
         "variants": [
-            run_variant(art, d, args.batch, args.epochs)
+            run_variant(art, d, args.batch, args.epochs, shard=args.shard,
+                        num_devices=args.num_devices,
+                        max_steps=args.max_steps)
             for d in args.dtypes.split(",")
         ],
     }
