@@ -109,6 +109,12 @@ _common_options = [
     click.option("--process-id", type=click.INT, default=None, help="multi-host: this process's index"),
     click.option("--profile-dir", type=click.Path(), default=None, help="jax.profiler trace output dir"),
     click.option("--swa-start", type=click.INT, default=None, help="enable Stochastic Weight Averaging from this epoch"),
+    click.option("--eval-init", is_flag=True, default=False,
+                 help="evaluate the pristine init as a best-checkpoint "
+                 "candidate before any training (for models initialized "
+                 "from trained weights, e.g. NeuMF-pre: the fused init can "
+                 "outrank every fine-tuned epoch and the reference "
+                 "protocol would silently lose it)"),
     click.option("--eval-interval", type=click.INT, default=1,
                  help="evaluate/checkpoint every k epochs; in scan mode "
                  "each k-epoch group runs as ONE device dispatch "

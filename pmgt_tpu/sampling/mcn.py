@@ -85,13 +85,17 @@ def _draw_path(graph: PaddedGraph) -> str:
         "packed16": graph.draw_packed16.shape[0] > 1,
         "packed": graph.draw_packed.shape[0] > 1,
         "split": graph.draw_ids.shape[0] > 1,
+        # Large-degree graphs (max_deg > ROW_DRAW_MAX_DEG, e.g. the
+        # published co-review graphs' 288 cap) materialize the flat
+        # per-(node, slot) element tables instead of row tables.
+        "flat": graph.alias_primary.shape[0] > 1,
     }
     if DRAW_IMPL == "auto":
-        for path in ("packed16", "packed", "split"):
+        for path in ("packed16", "packed", "split", "flat"):
             if available[path]:
                 return path
         raise ValueError(
-            "graph has no row draw tables; rebuild it with "
+            "graph has no draw tables; rebuild it with "
             "graph.container (from_edges/load)"
         )
     if DRAW_IMPL not in available:
@@ -208,8 +212,8 @@ def _alias_draw(
     b, f = frontier.shape
     u = jax.random.uniform(key, (b, f, num))
 
-    if d <= ROW_DRAW_MAX_DEG:
-        path = _draw_path(graph)
+    path = _draw_path(graph) if d <= ROW_DRAW_MAX_DEG else "flat"
+    if path != "flat":
         if path == "packed16":
             # ONE row gather of the narrow [(primary|alias<<16) pairs |
             # prob bits | deg] table — 2D+1 lanes. The hop gather and the

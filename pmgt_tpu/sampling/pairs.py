@@ -70,6 +70,10 @@ def effective_refresh_chunk(
         "packed": graph.draw_packed.shape[-1],
         # split path gathers three [*, max_deg] tables per frontier
         "split": 3 * graph.nbr_ids.shape[-1],
+        # flat path (max_deg > ROW_DRAW_MAX_DEG): three element gathers
+        # of [*, num] per frontier node at the last hop — the transient
+        # scales with the hop draw count, not max_deg
+        "flat": 3 * cfg.hop_sampling_sizes[-1],
     }[path]
     chunk = REFRESH_CHUNK
     while chunk > 8192 and 2 * chunk * wavefront * lanes * 4 > free_bytes:

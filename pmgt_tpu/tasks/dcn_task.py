@@ -207,6 +207,7 @@ def train(args: TrainArgs, ctx: Dict[str, Any], registry, run) -> Dict[str, floa
         swa_start=args.extra.get("swa_start"),
         eval_interval=args.eval_interval,
         ckpt_interval=args.ckpt_interval,
+        eval_init=bool(args.extra.get("eval_init", False)),
     )
 
 

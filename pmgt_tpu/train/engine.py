@@ -148,6 +148,7 @@ def fit(
     swa_start: Optional[int] = None,
     eval_interval: int = 1,
     ckpt_interval: int = 1,
+    eval_init: bool = False,
 ) -> Dict[str, float]:
     """Run the train/validate loop. Returns the final validation metrics
     plus ``best`` (the best monitored value seen); with ``swa_start`` set,
@@ -160,6 +161,16 @@ def fit(
     dispatch — through a high-latency dispatch tunnel this amortizes the
     per-fetch round-trip stall k-fold. Per-epoch train losses are still
     logged for every epoch.
+
+    ``eval_init=True`` evaluates the PRISTINE initialization before any
+    training and seeds the best-checkpoint tracking with it: if no epoch
+    beats the init on the monitor, the ``best`` checkpoint IS the init.
+    Off by default — the reference's Lightning sanity-check validation
+    never checkpoints — and meant for models initialized from trained
+    weights (NeuMF-pre's fused GMF+MLP towers, PMGT-injected variants),
+    where the first fine-tune epochs can move the monitor below the
+    init's value and the reference protocol would silently report the
+    degraded best-of-epochs instead (see tools/neumf_pre_bisect.py).
 
     ``ckpt_interval=k`` saves the resumable ``last`` checkpoint only at
     every k-th evaluation point of this run (so up to
@@ -237,6 +248,42 @@ def fit(
                 on_resume(global_step, start_epoch)
 
     val_metrics: Dict[str, float] = {}
+
+    if eval_init and start_epoch == 0:
+        init_metrics = task.evaluate(state, "valid")
+        if monitor not in init_metrics:
+            raise KeyError(
+                f"early criterion {monitor!r} not in metrics "
+                f"{sorted(init_metrics)}"
+            )
+        best_value = init_metrics[monitor]
+        val_metrics = dict(init_metrics)
+        logger.info(
+            "init eval (before any training): %s",
+            " ".join(f"{k} {v:.5f}" for k, v in init_metrics.items()),
+        )
+        if registry is not None and run is not None:
+            registry.log_metrics(run, init_metrics, step=0, epoch=-1)
+        if ckpt_dir is not None:
+            import os
+
+            payload = {
+                "state": state,
+                "meta": {
+                    "epoch": -1,
+                    "global_step": 0,
+                    "patience": 0,
+                    "best_value": float(best_value),
+                    "has_best": True,
+                },
+            }
+            if jax.process_count() == 1:
+                payload = jax.device_get(payload)
+            save_checkpoint(
+                os.path.join(ckpt_dir, "best"), payload, block=False
+            )
+            write_best_info(ckpt_dir, monitor, best_value, -1)
+
     epoch_runner = getattr(task, "train_epoch", None)
     if epoch_runner is not None and not getattr(task, "use_scan_epoch", True):
         epoch_runner = None

@@ -449,3 +449,40 @@ def test_effective_refresh_chunk_memory_pressure(small_graph):
     )
     # floor: never below 8192 regardless of pressure
     assert pairs_mod.effective_refresh_chunk(small_graph, CFG, 0) == 8192
+
+
+def test_effective_refresh_chunk_flat_draw_path():
+    """Large-degree graphs (max_deg > ROW_DRAW_MAX_DEG, e.g. the
+    published co-review graphs' 288 cap) materialize FLAT draw tables;
+    effective_refresh_chunk must budget that path instead of raising
+    (round-4 regression: PMGTTask init crashed on every published-shape
+    dataset whenever the free-HBM estimate was supplied)."""
+    from pmgt_tpu.graph.container import ROW_DRAW_MAX_DEG
+    from pmgt_tpu.sampling import pairs as pairs_mod
+    from pmgt_tpu.sampling.mcn import _draw_path
+
+    d = ROW_DRAW_MAX_DEG + 6
+    edges = [(0, j, 1.0) for j in range(1, d + 1)]
+    g = from_edges(d + 1, edges)
+    assert g.max_degree > ROW_DRAW_MAX_DEG
+    assert _draw_path(g) == "flat"
+    # row tables are placeholders on this graph
+    assert g.draw_packed16.shape[0] == 1 and g.draw_packed.shape[0] == 1
+
+    # no pressure -> full chunk; pressure -> shrinks, never raises
+    assert (
+        pairs_mod.effective_refresh_chunk(g, CFG)
+        == pairs_mod.REFRESH_CHUNK
+    )
+    lanes = 3 * CFG.hop_sampling_sizes[-1]
+    wavefront = 1
+    for h in CFG.hop_sampling_sizes[:-1]:
+        wavefront *= h
+    full = 2 * pairs_mod.REFRESH_CHUNK * wavefront * lanes * 4
+    assert pairs_mod.effective_refresh_chunk(g, CFG, full) == (
+        pairs_mod.REFRESH_CHUNK
+    )
+    assert pairs_mod.effective_refresh_chunk(g, CFG, full // 2) == (
+        pairs_mod.REFRESH_CHUNK // 2
+    )
+    assert pairs_mod.effective_refresh_chunk(g, CFG, 0) == 8192

@@ -152,11 +152,11 @@ from pmgt_tpu.tasks import ncf_task
 FAMILIES = set(_cli.families.split(","))
 
 
-def run_ncf(name, model_name, extra):
+def run_ncf(name, model_name, extra, lr=1e-3):
     a = TrainArgs(
         model_name=model_name, dataset_name="Q", seed=_cli.downstream_seed,
         num_epochs=_cli.downstream_epochs,
-        train_batch_size=256, test_batch_size=512, lr=1e-3, decay=0.0,
+        train_batch_size=256, test_batch_size=512, lr=lr, decay=0.0,
         early=4, early_criterion="n20", valid_size=0.2, mp_enabled=True,
         gradient_max_norm=5.0, ckpt_interval=1_000_000, log_dir=f"{OUT}/logs", extra=dict(extra),
     )
@@ -188,7 +188,15 @@ if "gmf" in FAMILIES or "neumf_pre" in FAMILIES:
 if "mlp" in FAMILIES or "neumf_pre" in FAMILIES:
     mlp_run = run_ncf("mlp", "MLP", base_ncf)
 if "neumf_pre" in FAMILIES:
-    # NeuMF-pre: fuse the trained GMF + MLP towers (ncf/models.py:111-126)
+    # NeuMF-pre: fuse the trained GMF + MLP towers (ncf/models.py:111-126).
+    # Per-family protocol: the published fine-tune lr is 1e-4 (reference
+    # scripts/run_ncf.sh:10) — the gate's 1e-3 washed the fused init out
+    # BELOW its own ingredient towers (round-4 anomaly; TG bisect:
+    # init-only n20 0.2583 > towers 0.205/0.257, 1e-3 ft -> 0.178,
+    # 1e-4 ft -> 0.2365 — tools/neumf_pre_bisect.py). eval_init keeps
+    # the pristine fused init as a best-checkpoint candidate: on this
+    # synthetic signal ANY fine-tuning trades ranking for BCE, so the
+    # honest NeuMF-pre score is max(init, best fine-tuned epoch).
     run_ncf(
         "neumf_pre",
         "NeuMF-pre",
@@ -197,7 +205,9 @@ if "neumf_pre" in FAMILIES:
             gmf_run_id=gmf_run.run_id,
             mlp_run_id=mlp_run.run_id,
             alpha=0.5,
+            eval_init=True,
         ),
+        lr=1e-4,
     )
 
 # ---------------- PMGT_NCF (beyond reference; opt-in) ----------------
