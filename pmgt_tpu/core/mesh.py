@@ -152,8 +152,6 @@ def place_graph(mesh: Mesh, graph, shard: bool = False):
     for its whole frontier, and at 4 B/node it is never the tenant that
     matters.
     """
-    import numpy as np  # local: keep module import surface unchanged
-
     if not shard:
         return type(graph)(
             *(replicate_host(mesh, np.asarray(a)) for a in graph)

@@ -27,7 +27,7 @@ import numpy as np
 
 
 def run_variant(art, dtype, batch, epochs, shard=False, num_devices=None,
-                max_steps=None):
+                max_steps=None, ctx_cache=True):
     import jax
 
     from pmgt_tpu.core.config import TrainArgs
@@ -46,6 +46,7 @@ def run_variant(art, dtype, batch, epochs, shard=False, num_devices=None,
                 feat_tables_dtype=dtype,
                 shard_feat_tables=shard,
                 shard_graph_tables=shard,
+                ctx_cache=ctx_cache,
             ),
         )
         nodes = np.arange(2, art.num_nodes + 2, dtype=np.int32)
@@ -210,6 +211,16 @@ def main():
     ap.add_argument("--max-steps", type=int, default=None,
                     help="bounded probe: refresh + this many optimizer "
                     "steps instead of full epochs (use on CPU meshes)")
+    ap.add_argument("--no-ctx-cache", action="store_true",
+                    help="exact per-occurrence sampling: skip the "
+                    "whole-graph refresh. REQUIRED for multi-million-"
+                    "node probes on a virtual CPU mesh — the N virtual "
+                    "devices replicate the refresh transient N times in "
+                    "ONE host address space (observed: host OOM at "
+                    "129 GB RSS for 2.5M nodes x 8 devices), a proof-"
+                    "environment artifact real per-chip HBM doesn't "
+                    "have; the refresh transient on hardware is bounded "
+                    "by effective_refresh_chunk's per-device accounting")
     args = ap.parse_args()
 
     if args.virtual_cpu_mesh:
@@ -236,7 +247,8 @@ def main():
         "variants": [
             run_variant(art, d, args.batch, args.epochs, shard=args.shard,
                         num_devices=args.num_devices,
-                        max_steps=args.max_steps)
+                        max_steps=args.max_steps,
+                        ctx_cache=not args.no_ctx_cache)
             for d in args.dtypes.split(",")
         ],
     }

@@ -43,6 +43,12 @@ ap.add_argument("--seeds", default="0,1,2")
 ap.add_argument("--emb-path", default=None,
                 help="reuse a previously exported PMGT embedding npy "
                 "(skips the pretrain stage)")
+ap.add_argument("--freeze", action="store_true",
+                help="freeze the injected embeddings in the variant arms "
+                "(--freeze-item-init-emb): the DETECTOR protocol. Under "
+                "the reference's trainable protocol (run_dcn.sh) the "
+                "model trains the init away and the arm reads embedding "
+                "SCALE, not content; frozen arms read content directly")
 ap.add_argument("--out", default="/tmp/dcn_sensitivity")
 ap.add_argument("--report", default=None)
 cli = ap.parse_args()
@@ -118,7 +124,8 @@ def run_dcn(tag, seed, emb_p):
         num_ng=1, max_sample_items=5, emb_dropout=0.2, use_layer_norm=True,
     )
     if emb_p:
-        extra.update(item_init_emb_path=emb_p, normalize_item_init_emb=True)
+        extra.update(item_init_emb_path=emb_p, normalize_item_init_emb=True,
+                     freeze_item_init_emb=cli.freeze)
     a = TrainArgs(
         model_name="DCN", dataset_name="Q", seed=seed,
         num_epochs=cli.downstream_epochs,
@@ -169,6 +176,7 @@ report = {
             "the PMGT embeddings feeding the gate's DCN arm",
     "shape": cli.shape,
     "signal": signal,
+    "freeze": cli.freeze,
     "git_commit": subprocess.run(
         ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
