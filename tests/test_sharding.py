@@ -236,6 +236,65 @@ def test_sharded_graph_tables_parity(art):
     assert m_sh["val/auc"] == pytest.approx(m_rep["val/auc"], abs=2e-4)
 
 
+def test_sharded_flat_graph_tables_parity():
+    """Large-degree graphs (max_deg > ROW_DRAW_MAX_DEG — every
+    published-shape co-review graph) use FLAT [N*max_deg] draw tables;
+    --shard-graph-tables must shard those too (element-padded to a
+    device multiple) with loss parity. This is the TG/VG-at-scale
+    sharding configuration the row-table test can't reach."""
+    from pmgt_tpu.core.config import TrainArgs
+    from pmgt_tpu.graph.container import ROW_DRAW_MAX_DEG
+    from pmgt_tpu.tasks.pmgt_task import PMGTTask
+
+    art = make_synthetic_dataset(
+        num_nodes=90, num_users=20, feat_dims=(12, 8), avg_degree=70,
+        seed=3,
+    )
+    assert art.graph.max_degree > ROW_DRAW_MAX_DEG
+    assert art.graph.alias_primary.shape[0] > 1  # flat tables built
+
+    def build(shard):
+        args = TrainArgs(
+            model_name="PMGT",
+            dataset_name="syn",
+            seed=0,
+            num_epochs=1,
+            train_batch_size=16,
+            test_batch_size=16,
+            lr=1e-2,
+            num_devices=8,
+            extra=dict(
+                hidden_size=8,
+                intermediate_size=8,
+                num_hidden_layers=1,
+                hop_sampling_sizes=(3, 2),
+                max_ctx_neigh=3,
+                shard_graph_tables=shard,
+            ),
+        )
+        nodes = np.arange(2, 92, dtype=np.int32)
+        return PMGTTask(args, art, nodes[:80], nodes[80:])
+
+    task_rep = build(False)
+    task_sh = build(True)
+
+    flat = task_sh.graph.alias_primary
+    assert flat.ndim == 1 and flat.shape[0] % 8 == 0
+    assert flat.sharding.spec == jax.sharding.PartitionSpec("data")
+    assert task_sh.sampling.num_total == 92
+
+    for task in (task_rep, task_sh):
+        losses = []
+        state = task.state
+        task.on_epoch_start(0)
+        for batch in task.train_batches(0):
+            state, metrics = task.train_step(state, batch)
+            losses.append(float(jax.device_get(metrics["loss"])))
+        task.state = state
+        task.losses = losses
+    np.testing.assert_allclose(task_rep.losses, task_sh.losses, rtol=2e-4)
+
+
 def test_bf16_feat_tables(art):
     """--feat-tables-dtype bfloat16: the step runs with half-width frozen
     tables and the loss stays close to the fp32-table loss."""
