@@ -106,6 +106,55 @@ def test_checkpointing_and_resume(tmp_path):
     assert "val/auc" in names and "loss/train" in names
 
 
+def test_eval_init_seeds_best_tracking(tmp_path):
+    """eval_init=True: the pristine init is evaluated and seeds
+    best-checkpoint tracking — when every epoch scores below it, the
+    best checkpoint IS the init (epoch -1) and `best` reports its value
+    (the NeuMF-pre case, QUALITY_NEUMF_PRE_BISECT_TG.json)."""
+    registry = RunRegistry(str(tmp_path / "logs"))
+    run = registry.create_run("exp", {"p": 1})
+
+    # first eval (the init) scores 0.9; every epoch scores lower
+    task = FakeTask([0.9, 0.6, 0.7, 0.65])
+    res = engine.fit(
+        task,
+        num_epochs=3,
+        early=5,
+        early_criterion="auc",
+        registry=registry,
+        run=run,
+        log_every=0,
+        eval_init=True,
+    )
+    assert task.evals == 4  # init + 3 epochs
+    assert res["best"] == pytest.approx(0.9)
+    best = read_best_info(run.ckpt_dir)
+    assert best["value"] == pytest.approx(0.9)
+    assert best["epoch"] == -1
+    # the best checkpoint holds the UNtrained state
+    payload = restore_checkpoint(os.path.join(run.ckpt_dir, "best"))
+    assert int(payload["state"]["epoch_count"]) == 0
+    # the init metrics were logged at epoch -1
+    rows = [m for m in run.metrics() if m["name"] == "val/auc"]
+    assert any(m["epoch"] == -1 for m in rows)
+
+    # an epoch that BEATS the init takes over as best
+    run2 = registry.create_run("exp", {"p": 2})
+    task2 = FakeTask([0.9, 0.95])
+    res2 = engine.fit(
+        task2,
+        num_epochs=1,
+        early=5,
+        early_criterion="auc",
+        registry=registry,
+        run=run2,
+        log_every=0,
+        eval_init=True,
+    )
+    assert res2["best"] == pytest.approx(0.95)
+    assert read_best_info(run2.ckpt_dir)["epoch"] == 0
+
+
 def test_pruning_hook():
     class PrunableTask(FakeTask):
         def should_prune(self, value, epoch):
