@@ -222,17 +222,6 @@ def _alias_draw(
             # is a direct −33% on both; prob bits stay exact f32 so the
             # draws are bit-identical to the wide layouts.
             rows = jnp.asarray(graph.draw_packed16)[frontier]  # [B,F,2D+1]
-            from pmgt_tpu.ops import select_slots as _ss
-
-            if _ss.SELECT_IMPL == "pallas":
-                # Consume the gathered buffer in its gather-native
-                # lanes-minor layout inside a Pallas kernel: no relayout
-                # copy, one VMEM-local pass (ops/select_slots.py;
-                # bit-identical, A/B-gated).
-                sampled = _ss.select_sampled_packed16(
-                    rows.reshape(b * f, -1), u.reshape(b * f, num), d=d
-                )
-                return sampled.reshape(b, f * num)
             rows_pair = rows[..., :d]
             rows_prob = jax.lax.bitcast_convert_type(
                 rows[..., d : 2 * d], jnp.float32

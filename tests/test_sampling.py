@@ -254,35 +254,6 @@ def test_draw_paths_bit_identical(small_graph):
         )
 
 
-def test_pallas_select_bit_identical_to_xla(small_graph):
-    """The Pallas slot-selection kernel (ops/select_slots.py, A/B-gated)
-    must produce BIT-identical contexts to the XLA one-hot formulation:
-    same f32 slot/frac arithmetic, exact one-hot lane selection, same
-    logical-shift 16-bit decode. Runs the kernel in interpret mode off
-    TPU."""
-    from pmgt_tpu.ops import select_slots
-    from pmgt_tpu.sampling import mcn
-
-    targets = jnp.arange(2, 34, dtype=jnp.int32)
-    out = {}
-    assert select_slots.SELECT_IMPL == "xla"
-    assert mcn._draw_path(small_graph) == "packed16"
-    try:
-        for impl in ("xla", "pallas"):
-            select_slots.SELECT_IMPL = impl
-            out[impl] = jax.jit(
-                lambda t, k: sample_context(small_graph, t, k, CFG)
-            )(targets, jax.random.key(11))
-    finally:
-        select_slots.SELECT_IMPL = "xla"
-    np.testing.assert_array_equal(
-        np.asarray(out["pallas"][0]), np.asarray(out["xla"][0])
-    )
-    np.testing.assert_array_equal(
-        np.asarray(out["pallas"][1]), np.asarray(out["xla"][1])
-    )
-
-
 def test_draw_impl_resolution(small_graph):
     """auto → packed16 (small-id production graphs materialize only the
     narrow table); forcing a path whose table is a placeholder must fail

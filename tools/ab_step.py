@@ -119,12 +119,6 @@ def main():
                     "--b-draw-impl to pin both sides, e.g. "
                     "--a-draw-impl packed --b-draw-impl packed16 when "
                     "auto already resolves to packed16")
-    ap.add_argument("--b-select-impl", default=None,
-                    choices=("pallas", "xla"),
-                    help="force ops.select_slots.SELECT_IMPL while "
-                    "tracing variant B (A traces with the default "
-                    "'xla'); combine with --common ctx_cache=0 — the "
-                    "slot selection is hot only in the exact-mode step")
     ap.add_argument("--b-topk-impl", default=None,
                     choices=("iterative", "xla"),
                     help="force sampling.mcn.TOPK_IMPL while tracing "
@@ -170,11 +164,6 @@ def main():
         if args.b_topk_impl:
             from pmgt_tpu.sampling import mcn
             mcn.TOPK_IMPL = args.b_topk_impl if name == "B" else "auto"
-        if args.b_select_impl:
-            from pmgt_tpu.ops import select_slots
-            select_slots.SELECT_IMPL = (
-                args.b_select_impl if name == "B" else "xla"
-            )
         task = build_task(art, args.batch, overrides)
         ctx = task._get_ctx(("train", 0))
         batch = task.args.train_batch_size
@@ -197,9 +186,6 @@ def main():
     if args.b_topk_impl:
         from pmgt_tpu.sampling import mcn
         mcn.TOPK_IMPL = "auto"
-    if args.b_select_impl:
-        from pmgt_tpu.ops import select_slots
-        select_slots.SELECT_IMPL = "xla"
 
     samples = {n: [] for n in variants}
     r = 0
