@@ -349,6 +349,9 @@ def main():
         "value": round(per_chip, 2),
         "unit": "nodes/sec/chip",
         "vs_baseline": round(vs, 2),
+        # 1.0 with no baseline means UNKNOWN, not parity — flag it so a
+        # failed/skipped torch-baseline measurement can't read as "1x".
+        **({} if baseline else {"vs_baseline_unknown": True}),
         # decomposition: per-epoch sampling refresh vs fwd/bwd scan
         "refresh_dispatch_ms_per_epoch": result["refresh_dispatch_ms_per_epoch"],
         "scan_ms_per_step": result["scan_ms_per_step"],
