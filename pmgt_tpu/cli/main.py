@@ -382,6 +382,13 @@ def train_pmgt(ctx: click.Context, **raw_args):
     "--mp-enabled else float32)",
 )
 @click.option(
+    "--shard-feat-tables",
+    is_flag=True,
+    default=False,
+    help="row-shard the frozen feature tables over the device mesh "
+    "(same lever as train-pmgt)",
+)
+@click.option(
     "--shard-graph-tables",
     is_flag=True,
     default=False,

@@ -180,6 +180,7 @@ class PMGTNCFTask(ServingTopKMixin):
                 or ("bfloat16" if args.mp_enabled else "float32")
             ),
             self.mesh,
+            shard=bool(e.get("shard_feat_tables")),
         )
         self.item_to_node = replicate_host(self.mesh, _item_to_node_map(artifacts))
 

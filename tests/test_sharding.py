@@ -236,6 +236,70 @@ def test_sharded_graph_tables_parity(art):
     assert m_sh["val/auc"] == pytest.approx(m_rep["val/auc"], abs=2e-4)
 
 
+def test_pmgt_ncf_sharded_tables_parity(art, tmp_path):
+    """train-pmgt-ncf accepts the same two sharding levers as
+    train-pmgt: --shard-feat-tables + --shard-graph-tables give loss
+    parity against the replicated run on the 8-device mesh."""
+    from pmgt_tpu.core.config import TrainArgs
+    from pmgt_tpu.tasks import pmgt_ncf_task
+
+    def build(shard):
+        args = TrainArgs(
+            model_name="NeuMF-end",
+            dataset_name="syn",
+            seed=0,
+            num_epochs=1,
+            train_batch_size=16,
+            test_batch_size=16,
+            lr=1e-2,
+            num_devices=8,
+            early_criterion="n20",
+            valid_size=0.2,
+            log_dir=str(tmp_path / "logs"),
+            extra=dict(
+                hidden_size=8,
+                intermediate_size=8,
+                num_hidden_layers=1,
+                num_attention_heads=1,
+                hop_sampling_sizes=(3, 2),
+                max_ctx_neigh=3,
+                factor_num=4,
+                num_layers=2,
+                num_ng=1,
+                max_sample_items=20,
+                shard_feat_tables=shard,
+                shard_graph_tables=shard,
+            ),
+        )
+        ctx = {"artifacts": art}
+        pmgt_ncf_task.check_args(args)
+        pmgt_ncf_task.init_run(args)
+        pmgt_ncf_task.init_dataloader(args, ctx)
+        pmgt_ncf_task.init_model(args, ctx)
+        return ctx["task"]
+
+    task_rep = build(False)
+    task_sh = build(True)
+
+    for t in task_sh.feat_tables:
+        assert t.sharding.spec == jax.sharding.PartitionSpec("data")
+    g = task_sh.graph
+    assert g.nbr_ids.sharding.spec == jax.sharding.PartitionSpec("data")
+    assert task_sh.sampling.num_total == 42
+
+    for task in (task_rep, task_sh):
+        losses = []
+        state = task.state
+        task.on_epoch_start(0)
+        for i, batch in enumerate(task.train_batches(0)):
+            state, metrics = task.train_step(state, batch)
+            losses.append(float(jax.device_get(metrics["loss"])))
+            if i >= 1:
+                break
+        task.losses = losses
+    np.testing.assert_allclose(task_rep.losses, task_sh.losses, rtol=2e-4)
+
+
 def test_sharded_flat_graph_tables_parity():
     """Large-degree graphs (max_deg > ROW_DRAW_MAX_DEG — every
     published-shape co-review graph) use FLAT [N*max_deg] draw tables;
