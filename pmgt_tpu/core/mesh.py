@@ -160,16 +160,34 @@ def place_graph(mesh: Mesh, graph, shard: bool = False):
     max_deg = int(np.shape(graph.nbr_ids)[1])
     flat_len = n_total * max_deg
 
-    def _place(a):
+    def _place(name, a):
         a = np.asarray(a)
         rows = a.shape[0] if a.ndim else 0
+        # Decided by NAME first: at max_deg == 1 the [N+2] ``degrees``
+        # vector is shape-indistinguishable from a flat element table
+        # (flat_len == n_total) and would otherwise be sharded+padded,
+        # paying a cross-device gather on the exact array the docstring
+        # promises stays replicated.
+        if name == "degrees":
+            return replicate_host(mesh, a)
         if a.ndim >= 2 and rows == n_total:
             return shard_rows_host(mesh, a)
         if a.ndim == 1 and rows == flat_len:
+            # Pad the flat [(N+2)*max_deg] tables so each device chunk is
+            # a multiple of max_deg — node-major layout then keeps every
+            # node's slots on ONE device (otherwise per-device chunks of
+            # ceil(flat_len/n) split boundary nodes' slots across devices;
+            # GSPMD stays correct either way, this is a locality choice).
+            unit = mesh.size * max_deg
+            pad = (-rows) % unit
+            if pad:
+                a = np.concatenate([a, np.zeros((pad,), a.dtype)])
             return shard_rows_host(mesh, a)
         return replicate_host(mesh, a)
 
-    return type(graph)(*(_place(a) for a in graph))
+    return type(graph)(
+        *(_place(name, a) for name, a in zip(graph._fields, graph))
+    )
 
 
 def make_mesh(

@@ -348,6 +348,15 @@ def _powerlaw_interactions(
     return pairs[:total]
 
 
+# The quality gate's calibrated per-shape ``signal`` operating point —
+# swept on the TPU so the synthetic plain-vs-PMGT lifts land at the
+# PUBLISHED magnitudes (VG 0.6 → NeuMF N@20 +15.5% vs published +13.9%;
+# TG 0.5 → +8.05% vs +8.9%; full sweep table in ROADMAP.md, round 4).
+# SINGLE SOURCE OF TRUTH: validate_pipeline / dcn_sensitivity /
+# neumf_pre_bisect / hpo_pmgt_study all import this — recalibrate here.
+CALIBRATED_SIGNAL = {"VG": 0.6, "TG": 0.5}
+
+
 def make_published_shape_dataset(
     shape: str,
     feat_dims: Sequence[int] = (1536, 768),

@@ -212,7 +212,11 @@ def _alias_draw(
     b, f = frontier.shape
     u = jax.random.uniform(key, (b, f, num))
 
-    path = _draw_path(graph) if d <= ROW_DRAW_MAX_DEG else "flat"
+    # _draw_path resolves by which tables the container materialized
+    # (row tables exist iff max_deg <= ROW_DRAW_MAX_DEG), so large-degree
+    # graphs resolve to 'flat' under auto and a forced row impl RAISES
+    # instead of silently timing the flat path on both sides of an A/B.
+    path = _draw_path(graph)
     if path != "flat":
         if path == "packed16":
             # ONE row gather of the narrow [(primary|alias<<16) pairs |

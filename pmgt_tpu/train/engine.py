@@ -87,6 +87,26 @@ def _is_better(value: float, best: Optional[float], mode: str) -> bool:
     return value < best if mode == "min" else value > best
 
 
+def _ckpt_payload(state, *, epoch, global_step, patience, best_value, has_best=True):
+    """The one checkpoint payload schema (state + resume meta).
+
+    Both save sites (the epoch loop's shared last/best payload and the
+    eval_init best seed) MUST build through here — the restore paths
+    template against this exact dict shape, so a field added at one call
+    site but not the other would produce checkpoints with divergent
+    schemas."""
+    return {
+        "state": state,
+        "meta": {
+            "epoch": epoch,
+            "global_step": global_step,
+            "patience": patience,
+            "best_value": float(best_value) if best_value is not None else 0.0,
+            "has_best": has_best,
+        },
+    }
+
+
 def criterion_mode(criterion: str) -> str:
     """loss-like criteria are minimized, everything else maximized
     (reference base_trainer.py:283-287, hp_tuning.py:160)."""
@@ -220,16 +240,14 @@ def fit(
         if os.path.isdir(last):
             payload = restore_checkpoint(
                 last,
-                {
-                    "state": state,
-                    "meta": {
-                        "epoch": 0,
-                        "global_step": 0,
-                        "patience": 0,
-                        "best_value": 0.0,
-                        "has_best": False,
-                    },
-                },
+                _ckpt_payload(
+                    state,
+                    epoch=0,
+                    global_step=0,
+                    patience=0,
+                    best_value=None,
+                    has_best=False,
+                ),
             )
             state = payload["state"]
             meta = payload["meta"]
@@ -267,16 +285,13 @@ def fit(
         if ckpt_dir is not None:
             import os
 
-            payload = {
-                "state": state,
-                "meta": {
-                    "epoch": -1,
-                    "global_step": 0,
-                    "patience": 0,
-                    "best_value": float(best_value),
-                    "has_best": True,
-                },
-            }
+            payload = _ckpt_payload(
+                state,
+                epoch=-1,
+                global_step=0,
+                patience=0,
+                best_value=best_value,
+            )
             if jax.process_count() == 1:
                 payload = jax.device_get(payload)
             save_checkpoint(
@@ -450,16 +465,13 @@ def fit(
             if ckpt_dir is not None:
                 import os
 
-                payload = {
-                    "state": state,
-                    "meta": {
-                        "epoch": epoch,
-                        "global_step": global_step,
-                        "patience": patience,
-                        "best_value": float(best_value),
-                        "has_best": True,
-                    },
-                }
+                payload = _ckpt_payload(
+                    state,
+                    epoch=epoch,
+                    global_step=global_step,
+                    patience=patience,
+                    best_value=best_value,
+                )
                 # Keyed on evaluation points, not absolute epochs: with
                 # eval_interval=2 the eval epochs are 1,3,5,... and an
                 # absolute (epoch+1) % k test would fire at every one of

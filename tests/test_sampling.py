@@ -272,6 +272,31 @@ def test_draw_impl_resolution(small_graph):
         mcn.DRAW_IMPL = "auto"
 
 
+def test_forced_row_impl_raises_on_large_degree_graph():
+    """A forced row DRAW_IMPL on a large-degree graph (flat tables only)
+    must raise, not silently fall back to 'flat' — otherwise BOTH sides
+    of a draw-path A/B time the flat path and report 'no difference'
+    (the _alias_draw call site used to bypass _draw_path's check with
+    its own max-degree guard)."""
+    from pmgt_tpu.graph.container import ROW_DRAW_MAX_DEG
+    from pmgt_tpu.sampling import mcn
+
+    d = ROW_DRAW_MAX_DEG + 6
+    g = from_edges(d + 1, [(0, j, 1.0) for j in range(1, d + 1)])
+    assert mcn._draw_path(g) == "flat"  # auto resolves fine
+    try:
+        mcn.DRAW_IMPL = "packed16"
+        with pytest.raises(ValueError, match="placeholder"):
+            mcn._alias_draw(
+                g,
+                jnp.zeros((2, 2), jnp.int32),
+                3,
+                jax.random.key(0),
+            )
+    finally:
+        mcn.DRAW_IMPL = "auto"
+
+
 def test_sort_impl_resolution():
     """auto → packed iff the int32 packing fits; forced 'packed' that
     cannot pack must fail loudly — a silent variadic fallback would

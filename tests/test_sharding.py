@@ -165,6 +165,43 @@ def test_sharded_feat_tables_parity(art, fusion):
     assert m_sh["val/auc"] == pytest.approx(m_rep["val/auc"], abs=2e-4)
 
 
+def test_place_graph_degrees_stay_replicated_at_max_deg_one():
+    """place_graph decides by field NAME, not shape: at max_deg == 1 the
+    1-D [N+2] ``degrees`` vector is shape-identical to a flat element
+    table (flat_len == n_total) and used to be sharded+padded by the
+    shape heuristic — the exact array the docstring promises stays
+    replicated. Flat tables must still shard with device chunks aligned
+    to max_deg (node slots on one device)."""
+    from pmgt_tpu.core.mesh import place_graph
+    from pmgt_tpu.graph.container import from_edges
+
+    # a chain graph where each node has exactly one (capped) neighbor
+    g = from_edges(9, [(i, i + 1, 1.0) for i in range(8)], max_degree=1)
+    assert g.nbr_ids.shape[1] == 1
+    mesh = make_mesh(8)
+    placed = place_graph(mesh, g.runtime_view(), shard=True)
+
+    # degrees replicated: every device holds the full vector
+    deg_shard = placed.degrees.sharding
+    assert deg_shard.is_fully_replicated
+    np.testing.assert_array_equal(
+        np.asarray(placed.degrees), np.asarray(g.degrees)
+    )
+    # node-axis row tables are sharded
+    assert not placed.nbr_ids.sharding.is_fully_replicated
+
+    # flat tables (when materialized) shard with max_deg-aligned chunks
+    d = 70
+    gf = from_edges(
+        92, [(i, j, 1.0) for i in range(92) for j in range(i + 1, min(i + d, 92))]
+    )
+    assert gf.alias_primary.shape[0] > 1
+    placed_f = place_graph(mesh, gf.runtime_view(), shard=True)
+    md = gf.nbr_ids.shape[1]
+    shard0 = placed_f.alias_primary.addressable_shards[0].data
+    assert shard0.shape[0] % md == 0
+
+
 def test_sharded_graph_tables_parity(art):
     """--shard-graph-tables: row-sharding the per-node graph tables
     (padded to a device multiple by core/mesh.place_graph) changes

@@ -80,14 +80,21 @@ def run_variant(art, dtype, batch, epochs, shard=False, num_devices=None,
             t0 = time.time()
             task.on_epoch_start(0)
             res["refresh_s"] = round(time.time() - t0, 1)
+            # Cap at the epoch's actual batch count: a fitting config
+            # with fewer batches than --max-steps must record ok=true,
+            # not fall into the failure handler via StopIteration.
             it = iter(task.train_batches(0))
             losses = []
             t0 = time.time()
             for _ in range(max_steps):
-                task.state, metrics = task.train_step(task.state, next(it))
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    break
+                task.state, metrics = task.train_step(task.state, batch)
                 losses.append(float(jax.device_get(metrics["loss"])))
-            res["steps"] = max_steps
-            res["step_s"] = round((time.time() - t0) / max_steps, 2)
+            res["steps"] = len(losses)
+            res["step_s"] = round((time.time() - t0) / max(len(losses), 1), 2)
             res["losses"] = [round(l, 4) for l in losses]
             res["ok"] = bool(np.all(np.isfinite(losses)))
             print(f"[{dtype}] refresh {res['refresh_s']}s + {max_steps} "

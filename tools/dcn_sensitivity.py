@@ -60,8 +60,8 @@ from pmgt_tpu.data.synthetic import make_published_shape_dataset
 from pmgt_tpu.tasks import dcn_task
 from pmgt_tpu.train.registry import RunRegistry
 
-# The gate's calibrated per-shape signal (tools/validate_pipeline.py).
-CALIBRATED_SIGNAL = {"VG": 0.6, "TG": 0.5}
+# The gate's calibrated per-shape signal (single source of truth).
+from pmgt_tpu.data.synthetic import CALIBRATED_SIGNAL
 
 OUT = cli.out
 os.makedirs(OUT, exist_ok=True)

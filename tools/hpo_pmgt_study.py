@@ -60,12 +60,9 @@ def main():
 
     if args.signal is None:
         # single source of truth: the gate's calibrated per-shape signal
-        with open(os.path.join(REPO, "tools/validate_pipeline.py"),
-                  encoding="utf-8") as f:
-            for line in f:
-                m = re.match(r"CALIBRATED_SIGNAL = (\{.*\})", line.strip())
-                if m:
-                    args.signal = eval(m.group(1))["TG"]  # noqa: S307
+        from pmgt_tpu.data.synthetic import CALIBRATED_SIGNAL
+
+        args.signal = CALIBRATED_SIGNAL["TG"]
 
     work = os.path.abspath(args.work)
     data_dir = os.path.join(work, "data")
@@ -128,6 +125,16 @@ def main():
     report["n_complete"], report["n_pruned"] = n_complete, n_pruned
 
     done = [t for t in trials if t["state"] == "COMPLETE"]
+    if not done:
+        # Every trial pruned/capped: still write the partial report —
+        # the TPU trial budget was already spent and report["trials"]
+        # holds everything needed for a post-mortem.
+        report["best"] = None
+        report["error"] = "no COMPLETE trials (all pruned/capped)"
+        with open(args.out, "w", encoding="utf-8") as f:
+            json.dump(report, f, indent=2)
+        print(f"NO COMPLETE TRIALS — partial report at {args.out}")
+        return
     best = max(done, key=lambda t: t["value"])
     report["best"] = copy.deepcopy(best)
 

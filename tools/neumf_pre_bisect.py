@@ -54,9 +54,11 @@ os.makedirs(OUT, exist_ok=True)
 
 if cli.shape:
     # Match the quality gate's calibrated per-shape signal
-    # (tools/validate_pipeline.py CALIBRATED_SIGNAL).
+    # (pmgt_tpu.data.synthetic.CALIBRATED_SIGNAL — single source).
+    from pmgt_tpu.data.synthetic import CALIBRATED_SIGNAL
+
     art = make_published_shape_dataset(
-        cli.shape, seed=42, signal={"VG": 0.6, "TG": 0.5}[cli.shape]
+        cli.shape, seed=42, signal=CALIBRATED_SIGNAL[cli.shape]
     )
 else:
     art = make_synthetic_dataset(
@@ -101,10 +103,8 @@ mlp_run = run("mlp", "MLP", 1e-3, cli.epochs, base)
 
 pre = dict(base, gmf_run_id=gmf_run.run_id, mlp_run_id=mlp_run.run_id, alpha=0.5)
 
-# Fused init, ZERO fine-tuning: tests fuse_neumf_params behaviorally.
-# test() on an untrained run falls back to live params if no checkpoint —
-# check that path exists; otherwise run 0 epochs via num_epochs=0 train.
-task = ncf_task.NCFTask
+# Fused init, ZERO fine-tuning (num_epochs=0 + direct evaluate): tests
+# fuse_neumf_params behaviorally.
 a0 = TrainArgs(
     model_name="NeuMF-pre", dataset_name="Q", seed=0, num_epochs=0,
     train_batch_size=256, test_batch_size=512, lr=1e-4, decay=0.0,

@@ -57,13 +57,15 @@ _cli = _ap.parse_args()
 #       (~1.5 pts) sits at ~1.5σ of a single seed and ~2.6σ of the
 #       3-seed mean.
 #   TG: 0.5 → +8.05%, 0.55 → +12.0%, 1.0 → +21% (published +8.9%).
-# Full sweep table + R@20/AUC landings: ROADMAP.md (round 4).
-CALIBRATED_SIGNAL = {"VG": 0.6, "TG": 0.5}
+# Full sweep table + R@20/AUC landings: ROADMAP.md (round 4). The
+# calibrated values live next to the generator knob they parameterize
+# (single source of truth for every tool that must match the gate).
 import numpy as np
 
 from pmgt_tpu.core.config import TrainArgs
 from pmgt_tpu.data.artifacts import save_native
 from pmgt_tpu.data.synthetic import (
+    CALIBRATED_SIGNAL,
     make_published_shape_dataset,
     make_synthetic_dataset,
 )
