@@ -629,37 +629,34 @@ class PMGTForPreTraining(nn.Module):
     ) -> PretrainOutput:
         b, p, s = batch.pair_ids.shape
 
+        # --- one fused encoder pass over target + pairs (+ masked) lanes ---
+        # compute_nfr is a STATIC Python bool: eval/serving calls
+        # (compute_nfr=False) build only the target+pair lanes — at the
+        # eval shape (P=2) the old always-appended placeholder masked
+        # lane was 25% of the encoder rows, pure discarded compute.
+        # Per-row encoder math is batch-independent, so GSR outputs are
+        # unchanged.
+        lanes = [batch.target_ids, batch.pair_ids.reshape(b * p, s)]
+        mask_lanes = [batch.target_mask, batch.pair_mask.reshape(b * p, s)]
         if compute_nfr:
             masked_ids, nfr_pos_mask, nfr_target_ids = self._corrupt(
                 batch.target_ids
             )
-        else:
-            masked_ids = batch.target_ids  # placeholder lane, unused
-            nfr_pos_mask = jnp.zeros_like(batch.target_ids[:, 1:], jnp.float32)
-            nfr_target_ids = batch.target_ids[:, 1:]
-
-        # --- one fused encoder pass over target + pairs + masked lanes ---
-        all_ids = jnp.concatenate(
-            [batch.target_ids, batch.pair_ids.reshape(b * p, s), masked_ids]
-        )
-        all_mask = jnp.concatenate(
-            [
-                batch.target_mask,
-                batch.pair_mask.reshape(b * p, s),
-                batch.target_mask,
-            ]
-        )
+            lanes.append(masked_ids)
+            mask_lanes.append(batch.target_mask)
+        all_ids = jnp.concatenate(lanes)
+        all_mask = jnp.concatenate(mask_lanes)
         hidden = self.encode(feat_tables, all_ids, all_mask, deterministic)
 
         target_hidden = hidden[:b]
         pair_cls = hidden[b : b + b * p, 0].reshape(b, p, -1)
-        masked_hidden = hidden[b + b * p :]
 
         gsr, logits = gsr_loss_fn(
             target_hidden[:, 0], pair_cls, batch.labels, batch.pair_valid
         )
 
         if compute_nfr:
+            masked_hidden = hidden[b + b * p :]
             nfr = self._nfr_loss(
                 feat_tables, masked_hidden, nfr_pos_mask, nfr_target_ids
             )
@@ -677,7 +674,14 @@ class PMGTForPreTraining(nn.Module):
     def _corrupt(self, target_ids: Array):
         """Random node replacement + masking for NFR (reference
         models.py:129-151). Never touches position 0 (the target) or
-        padding; targets for reconstruction are the post-replacement ids."""
+        padding; targets for reconstruction are the post-replacement ids.
+
+        The replace and mask draws are INDEPENDENT, so a slot can be
+        replaced with a random node and then masked — its NFR target is
+        then the random node, not the original. That overlap (~replace
+        ratio x mask ratio of context slots) is reference-faithful, not
+        a bug: models.py:150 reads ``target_idx`` from the ids AFTER the
+        random replacement was written into them."""
         rng = self.make_rng("corruption")
         r_replace, r_ids, r_mask = jax.random.split(rng, 3)
         ctx = target_ids[:, 1:]
@@ -719,7 +723,13 @@ class PMGTForPreTraining(nn.Module):
         for proj, table in zip(self.nfr_projections, feat_tables):
             pred = proj(ctx_hidden)  # [B, S-1, F]
             target = table_rows(table, target_ids, pred.dtype)
-            sq = jnp.sum((pred - target) ** 2, axis=-1)  # [B, S-1]
+            # Accumulate the F-long (up to 1536 terms) per-row sum in
+            # f32: under the bf16 policy a bf16 accumulator loses terms
+            # to rounding once the running sum is ~256x a term — percent-
+            # level error in the loss HPO/quality comparisons consume.
+            sq = jnp.sum(
+                (pred - target) ** 2, axis=-1, dtype=jnp.float32
+            )  # [B, S-1]
             denom = jnp.maximum(count * pred.shape[-1], 1.0)
             losses.append(jnp.sum(sq * pos_mask) / denom)
         return jnp.mean(jnp.stack(losses))

@@ -527,6 +527,11 @@ def dual_attention_pallas_sm(
     use_dropout = (not deterministic) and dropout_rate > 0.0
     keep = 1.0 - dropout_rate
     if use_dropout:
+        if dropout_rng is None:
+            raise ValueError(
+                "dropout_rng is required when dropout_rate > 0 and "
+                "deterministic=False"
+            )
         r1, r2 = jax.random.split(dropout_rng)
         m1 = jax.random.bernoulli(r1, keep, (s, n, s))
         m2 = jax.random.bernoulli(r2, keep, (s, n, s))
@@ -568,6 +573,11 @@ def dual_attention_pallas(
     use_dropout = (not deterministic) and dropout_rate > 0.0
     keep = 1.0 - dropout_rate
     if use_dropout:
+        if dropout_rng is None:
+            raise ValueError(
+                "dropout_rng is required when dropout_rate > 0 and "
+                "deterministic=False"
+            )
         r1, r2 = jax.random.split(dropout_rng)
         m1 = jax.random.bernoulli(r1, keep, (b * h, s, s))
         m2 = jax.random.bernoulli(r2, keep, (b * h, s, s))
