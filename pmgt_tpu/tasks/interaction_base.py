@@ -38,7 +38,7 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def chunk_eval_inputs(mesh, chunk: int, arrays):
+def chunk_eval_inputs(mesh, chunk: int, arrays, pad_values=None):
     """Pad host arrays [n, ...] to whole chunks and device-put them as
     [C, chunk, ...] sharded along axis=1 — the fixed-shape input of a
     single-dispatch ``lax.map`` evaluation program. Per-chunk host
@@ -49,16 +49,24 @@ def chunk_eval_inputs(mesh, chunk: int, arrays):
     draws are keyed per split, not per epoch, mirroring the reference's
     fixed ng_sample eval tables, ncf/datasets.py + dcn/trainer.py:76-78).
 
+    ``pad_values`` optionally gives one fill value per array (default 0
+    for all — id arrays whose padding must hit a sentinel row pass it
+    explicitly, e.g. NUM_SPECIAL_NODES for PMGT node ids).
+
     Returns (n, chunk, device_arrays)."""
     chunk = pad_to_multiple(chunk, mesh.size)
     n = len(arrays[0])
     c = max((n + chunk - 1) // chunk, 1)
+    if pad_values is None:
+        pad_values = (0,) * len(arrays)
     out = []
-    for a in arrays:
+    for a, fill in zip(arrays, pad_values):
         a = np.asarray(a)
         pad = c * chunk - n
         if pad:
-            a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+            a = np.concatenate(
+                [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
+            )
         out.append(
             put_along_data_axis(
                 mesh, a.reshape((c, chunk) + a.shape[1:]), axis=1
@@ -85,9 +93,13 @@ class ServingTopKMixin:
         """Local top-k of a [B] user batch against the item chunk
         [chunk_start, chunk_start + chunk_size): absolute item ids +
         scores. ``pos_rows`` [B, P] are the users' training positives
-        (padded with num_items); with ``exclude`` they sink to -1e30 so
-        served lists contain unseen items only. Items past the catalog
-        end (fixed chunk shape) are masked to -inf."""
+        (padded with num_items); with ``exclude`` they sink to -inf so
+        served lists contain unseen items only — a finite sentinel
+        (-1e30) would still outrank the -inf merge-carry init and leak
+        excluded positives into the tail whenever a user has fewer than
+        k unseen items. Items past the catalog end (fixed chunk shape)
+        are masked to -inf too; export_topk marks every -inf slot with
+        item id -1."""
         num_items = int(self.train_data.num_items)
         items = chunk_start + jnp.arange(chunk_size, dtype=jnp.int32)
         b = users.shape[0]
@@ -109,9 +121,7 @@ class ServingTopKMixin:
             idx = jnp.where(
                 (idx >= 0) & (idx < chunk_size), idx, jnp.int32(chunk_size)
             )
-            logits = logits.at[rows, idx].add(
-                jnp.float32(-1e30), mode="drop"
-            )
+            logits = logits.at[rows, idx].set(-jnp.inf, mode="drop")
         logits = jnp.where(items[None, :] < num_items, logits, -jnp.inf)
         scores, top_idx = jax.lax.top_k(logits, min(k, chunk_size))
         return jnp.take_along_axis(it, top_idx, axis=1), scores
@@ -209,14 +219,16 @@ class ServingTopKMixin:
             exclude=exclude_train,
             num_chunks=n_chunks,
         )
+        item_ids = gather_to_host(ids).reshape(-1, k)[:n].astype(np.int32)
+        scores = gather_to_host(sc).reshape(-1, k)[:n].astype(np.float32)
+        # A -inf score slot means "no valid candidate" (the user has
+        # fewer than k unseen items); its id is whichever excluded/pad
+        # entry won the -inf tie — mark it unambiguously.
+        item_ids = np.where(np.isneginf(scores), np.int32(-1), item_ids)
         return {
             "user_ids": all_users,
-            "item_ids": gather_to_host(ids)
-            .reshape(-1, k)[:n]
-            .astype(np.int32),
-            "scores": gather_to_host(sc)
-            .reshape(-1, k)[:n]
-            .astype(np.float32),
+            "item_ids": item_ids,
+            "scores": scores,
         }
 
 
@@ -260,6 +272,7 @@ class InteractionTaskBase(ServingTopKMixin):
         self._replicated = replicated(self.mesh)
         self.num_ng = args.extra.get("num_ng", 1)
         self._epoch_arrays: Optional[Tuple[np.ndarray, ...]] = None
+        self._epoch_arrays_epoch: Optional[int] = None
 
     def finish_init(self, params) -> None:
         """Call after the subclass created the model and params."""
@@ -390,10 +403,18 @@ class InteractionTaskBase(ServingTopKMixin):
         rng = np.random.default_rng(self.args.seed * 11 + epoch)
         perm = rng.permutation(len(users))
         self._epoch_arrays = (users[perm], items[perm], labels[perm])
+        self._epoch_arrays_epoch = epoch
+
+    def _ensure_epoch_arrays(self, epoch: int) -> None:
+        # Keyed on the epoch, not just presence: a caller that skips
+        # on_epoch_start (or passes a different epoch than the last one
+        # started) must get that epoch's negatives/shuffle, not a stale
+        # previous epoch's data trained under the new epoch's scan seed.
+        if self._epoch_arrays is None or self._epoch_arrays_epoch != epoch:
+            self.on_epoch_start(epoch)
 
     def train_batches(self, epoch: int) -> Iterable[Any]:
-        if self._epoch_arrays is None:
-            self.on_epoch_start(epoch)
+        self._ensure_epoch_arrays(epoch)
         users, items, labels = self._epoch_arrays
         bs = self.args.train_batch_size
         n_full = len(users) // bs
@@ -412,8 +433,7 @@ class InteractionTaskBase(ServingTopKMixin):
 
     def train_epoch(self, state, epoch: int):
         """Engine fast path: one lax.scan dispatch per epoch."""
-        if self._epoch_arrays is None:
-            self.on_epoch_start(epoch)
+        self._ensure_epoch_arrays(epoch)
         users, items, labels = self._epoch_arrays
         bs = self.args.train_batch_size
         n_full = len(users) // bs

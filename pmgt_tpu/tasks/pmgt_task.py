@@ -51,6 +51,9 @@ from pmgt_tpu.sampling.pairs import (
     sample_all_contexts,
     sample_all_pairs,
 )
+# Safe (no cycle): interaction_base imports pmgt_task only lazily,
+# inside its PMGT-injection helper.
+from pmgt_tpu.tasks.interaction_base import chunk_eval_inputs
 from pmgt_tpu.train import engine
 from pmgt_tpu.train.checkpoints import restore_checkpoint
 from pmgt_tpu.train.optim import make_optimizer
@@ -237,6 +240,10 @@ class PMGTTask:
         self.use_ctx_cache = bool(args.extra.get("ctx_cache", True))
         self._ctx_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self._ctx_cache_tag: Optional[Tuple] = None
+        # Non-train phases (valid/test/inference) cache separately so a
+        # train-epoch retag never evicts them and — crucially — their
+        # draws are schedule-independent (see _get_ctx).
+        self._phase_ctx_cache: Dict[Tuple, Tuple] = {}
         n_total = self.sampling.num_total  # true rows (placed may be padded)
         # Graph arrays are jit ARGUMENTS, not captured constants: TPU
         # dynamic gather only hits its fast path on unmodified program
@@ -269,7 +276,13 @@ class PMGTTask:
         )
         s_len = self.sampling.seq_len
         p_len = self.sampling.max_total_samples
-        persistent += n_total * (8 * s_len + 12 * p_len)  # ctx + pair caches
+        # Resident ctx+pair caches, worst case: the engine's lag-1
+        # speculation keeps epoch k's cache alive (held by the dispatched
+        # program) while epoch k+1's is drawn (2), grouped-epoch programs
+        # hold eval_interval distinct caches at once, and the fixed eval
+        # draw (_phase_ctx_cache) persists for the whole run (+1).
+        n_caches = max(2, int(getattr(args, "eval_interval", 1) or 1)) + 1
+        persistent += n_caches * n_total * (8 * s_len + 12 * p_len)
         self._refresh_chunk = effective_refresh_chunk(
             self.graph, self.sampling,
             max(hbm - headroom - persistent, 0),
@@ -436,15 +449,23 @@ class PMGTTask:
             losses_all.append(losses)
         return state, jnp.stack(losses_all)
 
+    def _epoch_schedule(self, epoch: int) -> np.ndarray:
+        """The epoch's shuffled target ids — the ONE derivation of the
+        per-epoch data order, shared by the scan path (_epoch_inputs)
+        and the batch iterator (train_batches) so the documented
+        scan-vs-batch same-data property cannot drift."""
+        ids = self.train_nodes.copy()
+        rng = np.random.default_rng(self.args.seed * 100_003 + epoch)
+        rng.shuffle(ids)
+        return ids
+
     def _epoch_inputs(self, epoch: int):
         """Shuffled target schedule [S, B] + the epoch's scan seed.
         Advances the per-step key counter; shared by train_epoch and
         train_epochs so grouped and sequential runs consume identical
         PRNG streams."""
         bs = self.args.train_batch_size
-        ids = self.train_nodes.copy()
-        rng = np.random.default_rng(self.args.seed * 100_003 + epoch)
-        rng.shuffle(ids)
+        ids = self._epoch_schedule(epoch)
         n_full = len(ids) // bs
         if n_full == 0:
             return None, None
@@ -577,24 +598,39 @@ class PMGTTask:
         step = int(tag[1]) if len(tag) > 1 else 0
         return np.uint32(self.args.seed * 104_729 + phase_id * 2_000_003 + step)
 
+    def _draw_ctx(self, tag):
+        seed = self._phase_seed(tag)
+        ctx_ids, ctx_mask = self._sample_all_fn(
+            self.graph, self._all_nodes, seed
+        )
+        if tag[0] == "train":
+            pairs = self._sample_pairs_train_fn(self.graph, seed)
+        elif tag[0] in ("valid", "test"):
+            pairs = self._sample_pairs_eval_fn(self.graph, seed)
+        else:  # inference never consumes pairs
+            pairs = None
+        return (ctx_ids, ctx_mask, pairs)
+
     def _get_ctx(self, tag):
-        """Per-phase cache (contexts + pairs) refreshed when the tag
-        changes; None when caching is disabled. Tags: ("train", epoch),
-        ("valid"/"test", step), ("inference",)."""
+        """Per-phase cache (contexts + pairs); None when caching is
+        disabled. Tags: ("train", epoch) — one fresh draw per epoch in a
+        single evicting slot — and ("valid",)/("test",)/("inference",):
+        one FIXED draw per split per run, cached separately so train
+        retags never evict it. The fixed eval draw makes val metrics a
+        pure function of the params: keying eval on the training
+        schedule would read whatever epoch the engine last STARTED (its
+        pipelined scan mode dispatches epoch k+1 before evaluating
+        epoch k), making best-checkpoint selection depend on
+        speculation/preemption timing (same hazard pmgt_ncf_task's
+        _get_eval_ctx documents)."""
         if not self.use_ctx_cache:
             return None
+        if tag[0] != "train":
+            if tag not in self._phase_ctx_cache:
+                self._phase_ctx_cache[tag] = self._draw_ctx(tag)
+            return self._phase_ctx_cache[tag]
         if self._ctx_cache_tag != tag:
-            seed = self._phase_seed(tag)
-            ctx_ids, ctx_mask = self._sample_all_fn(
-                self.graph, self._all_nodes, seed
-            )
-            if tag[0] == "train":
-                pairs = self._sample_pairs_train_fn(self.graph, seed)
-            elif tag[0] in ("valid", "test"):
-                pairs = self._sample_pairs_eval_fn(self.graph, seed)
-            else:  # inference never consumes pairs
-                pairs = None
-            self._ctx_cache = (ctx_ids, ctx_mask, pairs)
+            self._ctx_cache = self._draw_ctx(tag)
             self._ctx_cache_tag = tag
         return self._ctx_cache
 
@@ -613,9 +649,7 @@ class PMGTTask:
 
     def train_batches(self, epoch: int) -> Iterable[Tuple[jnp.ndarray, jax.Array]]:
         bs = self.args.train_batch_size
-        ids = self.train_nodes.copy()
-        rng = np.random.default_rng(self.args.seed * 100_003 + epoch)
-        rng.shuffle(ids)
+        ids = self._epoch_schedule(epoch)
         n_full = len(ids) // bs
         for i in range(n_full):
             chunk = ids[i * bs : (i + 1) * bs]
@@ -639,25 +673,21 @@ class PMGTTask:
 
     def evaluate(self, state, split: str = "valid") -> Dict[str, float]:
         params = state.params if isinstance(state, TrainState) else state
-        ctx = self._get_ctx((split, self._step_count))
+        ctx = self._get_ctx((split,))
         if "eval" not in self._eval_input_cache:
             # One fixed [C, chunk] chunking of the (constant) eval node
             # set, device-cached for the run; the whole split is then
-            # scored by a single lax.map dispatch per eval.
-            nodes = self.valid_nodes
-            chunk = pad_to_multiple(self.args.test_batch_size, self.mesh.size)
-            n = len(nodes)
-            c = max(-(-n // chunk), 1)
-            padded = np.full(c * chunk, NUM_SPECIAL_NODES, np.int32)
-            padded[:n] = nodes
-            sv = np.zeros(c * chunk, np.float32)
-            sv[:n] = 1.0
-            self._eval_input_cache["eval"] = (
-                put_along_data_axis(
-                    self.mesh, padded.reshape(c, chunk), axis=1
-                ),
-                put_along_data_axis(self.mesh, sv.reshape(c, chunk), axis=1),
+            # scored by a single lax.map dispatch per eval. Padding node
+            # ids hit the NUM_SPECIAL_NODES sentinel row and are masked
+            # by the zero-padded sample-valid array.
+            nodes = np.asarray(self.valid_nodes, np.int32)
+            _, _, (targets_c, sv_c) = chunk_eval_inputs(
+                self.mesh,
+                self.args.test_batch_size,
+                (nodes, np.ones(len(nodes), np.float32)),
+                pad_values=(NUM_SPECIAL_NODES, 0),
             )
+            self._eval_input_cache["eval"] = (targets_c, sv_c)
         targets_c, sv_c = self._eval_input_cache["eval"]
         logits, labels, pair_valid = self._eval_all_fn(
             params,
@@ -695,15 +725,13 @@ class PMGTTask:
         bs = batch_size or self.args.test_batch_size
         n = self.artifacts.num_nodes
         ctx = self._get_ctx(("inference",))
-        chunk = pad_to_multiple(bs, self.mesh.size)
-        c = max(-(-n // chunk), 1)
-        padded = np.full(c * chunk, NUM_SPECIAL_NODES, np.int32)
-        padded[:n] = np.arange(
+        node_ids = np.arange(
             NUM_SPECIAL_NODES, n + NUM_SPECIAL_NODES, dtype=np.int32
         )
-        targets_c = put_along_data_axis(
-            self.mesh, padded.reshape(c, chunk), axis=1
+        _, chunk, (targets_c,) = chunk_eval_inputs(
+            self.mesh, bs, (node_ids,), pad_values=(NUM_SPECIAL_NODES,)
         )
+        c = targets_c.shape[0]
         cls = gather_to_host(
             self._encode_all_fn(
                 params,
@@ -771,6 +799,11 @@ def _restore_params_from_run(args: TrainArgs) -> None:
         "num_hidden_layers",
         "num_attention_heads",
         "beta",
+        # Structural: relative-position runs add a distance_embedding
+        # param and change the attention math — omitting this silently
+        # rebuilt an absolute-attention model at eval/inference (the
+        # template-free params restore ignores unexpected extra leaves).
+        "position_embedding_type",
         "random_node_ratio",
         "mask_node_ratio",
         "max_ctx_neigh",

@@ -301,6 +301,33 @@ def test_dcn_consumes_pmgt_embeddings(pretrained, art):
     np.testing.assert_allclose(frozen_before, frozen_after, atol=1e-7)
 
 
+def test_pmgt_eval_draw_is_schedule_independent(art):
+    """Val metrics must be a pure function of the params: the eval
+    context/negative draw may NOT depend on the training step counter,
+    which the engine's speculative epoch dispatch advances — otherwise
+    a preempted+resumed run scores its last epoch under a different
+    draw than the identical uninterrupted run, and best-checkpoint
+    selection depends on dispatch timing."""
+    from pmgt_tpu.tasks.pmgt_task import PMGTTask
+
+    args = TrainArgs(
+        model_name="PMGT",
+        dataset_name="SYN",
+        seed=0,
+        num_epochs=1,
+        train_batch_size=16,
+        test_batch_size=32,
+        lr=1e-3,
+        extra=dict(EXTRA_PMGT),
+    )
+    nodes = np.arange(2, 62, dtype=np.int32)
+    task = PMGTTask(args, art, nodes[:48], nodes[48:])
+    m1 = task.evaluate(task.state, "valid")
+    task._step_count += 12_345  # simulate speculative dispatches
+    m2 = task.evaluate(task.state, "valid")
+    assert m1 == m2
+
+
 def test_pmgt_resume_from_checkpoint(pretrained, art):
     """--run-id resume restores hyperparameters and weights."""
     from pmgt_tpu.tasks import pmgt_task

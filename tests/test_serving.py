@@ -121,6 +121,23 @@ def test_export_topk_include_seen(data):
         assert sorted(row.tolist()) == list(range(NUM_ITEMS))
 
 
+def test_export_topk_short_tail_marks_invalid_slots():
+    """A user with fewer than k unseen items must get item_id -1 /
+    score -inf tail slots — NOT their excluded training positives
+    (the old finite -1e30 sentinel outranked the -inf merge-carry
+    init and leaked positives into the tail)."""
+    # user 0 has seen 15 of 17 items -> only 2 valid candidates for k=5
+    pairs = np.asarray([(0, i) for i in range(15)] + [(1, 0)], np.int32)
+    d = InteractionData.build(pairs, 2, NUM_ITEMS)
+    task = _ncf_task((d, d, d))
+    out = task.export_topk(task.state.params, k=5)
+    row, sc = out["item_ids"][0], out["scores"][0]
+    assert np.isfinite(sc[:2]).all()
+    assert set(row[:2].tolist()) == {15, 16}  # the two unseen items
+    assert (row[2:] == -1).all()
+    assert np.isneginf(sc[2:]).all()
+
+
 def test_export_topk_dcn(data):
     args = TrainArgs(
         model_name="DCN",
