@@ -133,9 +133,17 @@ def sample_pairs(
     rand_keys = jax.random.uniform(key_pos, (batch, d))
     valid_nbr = jnp.arange(d)[None, :] < t_deg[:, None]
     rand_keys = jnp.where(valid_nbr, rand_keys, -jnp.inf)
-    _, pos_idx = jax.lax.top_k(rand_keys, max_pos)  # [B, max_pos]
-    pos_nodes = jnp.take_along_axis(t_nbrs, pos_idx, axis=1)  # [B, max_pos]
-    num_pos = jnp.minimum(t_deg, max_pos)  # [B]
+    # Graphs sparser than max_pos (padded max degree < positives asked
+    # for): top_k requires k <= row width, so select what exists and pad
+    # — the padded slots are masked by num_pos below, which is clamped
+    # to the STORED neighbor count (d) so a degree-capped node can never
+    # mark a pad slot positive.
+    k_eff = min(max_pos, d)
+    _, pos_idx = jax.lax.top_k(rand_keys, k_eff)  # [B, k_eff]
+    pos_nodes = jnp.take_along_axis(t_nbrs, pos_idx, axis=1)  # [B, k_eff]
+    if k_eff < max_pos:
+        pos_nodes = jnp.pad(pos_nodes, ((0, 0), (0, max_pos - k_eff)))
+    num_pos = jnp.minimum(jnp.minimum(t_deg, d), max_pos)  # [B]
     pos_slot = jnp.arange(max_pos)[None, :] < num_pos[:, None]
     pos_nodes = jnp.where(pos_slot, pos_nodes, 0)
 
@@ -174,7 +182,7 @@ def sample_pairs(
         # slot 1 the negative (invalid only if the complement is empty).
         pair_valid = jnp.where(
             (slot == 0) & (num_pos[:, None] == 0), 0.0, jnp.where(is_pos, 1.0, neg_ok)
-        ) * jnp.ones((batch, 1), jnp.float32)
+        )
         # Isolated targets get the neg candidate in slot 0 as well, but the
         # mask removes it from every loss/metric.
         pair_nodes = jnp.where(
@@ -249,7 +257,14 @@ def sample_all_contexts(
     """
     if all_nodes is None:
         all_nodes = jnp.arange(num_total, dtype=jnp.int32)
-    if num_total > REFRESH_CHUNK:
+    # Gate on the EFFECTIVE chunk, not the constant: a caller-computed
+    # memory-pressure chunk (effective_refresh_chunk) must chunk a
+    # mid-size graph too — gating on REFRESH_CHUNK alone silently took
+    # the single-shot branch for num_total <= 65,536 and materialized
+    # the exact transient the caller's free_bytes budget ruled out.
+    eff_chunk = REFRESH_CHUNK if chunk is None else chunk
+    if num_total > eff_chunk:
+        chunk = eff_chunk
         # Beyond ~10^5 nodes the all-at-once wavefront row-gather
         # intermediate ([N * prod(hops[:-1]), max_deg] inside
         # _alias_draw) exceeds HBM — measured 20.5 GB at 1M nodes /
@@ -260,8 +275,6 @@ def sample_all_contexts(
         # computed by the task against its persistent HBM footprint)
         # shrinks the per-chunk transient only under memory pressure —
         # chunk latency dominates, so bigger is faster.
-        if chunk is None:
-            chunk = REFRESH_CHUNK
         c = -(-num_total // chunk)
         pad = c * chunk - num_total
         nodes_p = jnp.concatenate(

@@ -115,3 +115,31 @@ def test_roc_auc_single_class_degrades_to_zero():
     reference's NaN->0 guard (dcn/trainer.py:200-209) degrades to 0."""
     assert roc_auc(np.ones(4), np.linspace(0, 1, 4)) == 0.0
     assert roc_auc(np.zeros(4), np.linspace(0, 1, 4)) == 0.0
+
+
+def test_metrics_accept_prediction_narrower_than_top():
+    """max_sample_items < k configs emit candidate lists narrower than
+    the metric's top: score the actual length instead of crashing (the
+    old np.fromiter(count=top) raised 'iterator too short'; the
+    reference degrades gracefully through its binarizer transform)."""
+    pred = np.array([[3, 1], [2, 9]])  # width 2, top 20
+    targets = [[3], [7]]
+    n = get_ndcg(pred, targets, top=20)
+    r = get_recall(pred, targets, top=20)
+    assert n == pytest.approx(0.5)  # user 0: hit at rank 1; user 1: miss
+    assert r == pytest.approx(0.5)
+
+
+def test_roc_auc_tie_heavy_matches_sklearn():
+    """The vectorized tie-averaged ranks must stay numerically identical
+    to sklearn on tie-heavy scores (constant scorers, quantized logits)."""
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 2, size=500).astype(float)
+    scores = np.round(rng.normal(size=500), 1)  # heavy ties
+    assert roc_auc(labels, scores) == pytest.approx(
+        roc_auc_score(labels, scores), abs=1e-12
+    )
+    const = np.full(500, 0.5)
+    assert roc_auc(labels, const) == pytest.approx(0.5)

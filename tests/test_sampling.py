@@ -297,6 +297,59 @@ def test_forced_row_impl_raises_on_large_degree_graph():
         mcn.DRAW_IMPL = "auto"
 
 
+def test_sample_pairs_on_graph_sparser_than_max_pos():
+    """Graphs whose padded max degree is below max_pos (chains, stars —
+    from_edges only guarantees max_deg >= 1) must sample pairs instead
+    of crashing at trace time (lax.top_k requires k <= row width).
+    Positive slots beyond the stored neighbors stay masked."""
+    g = from_edges(6, [(i, i + 1, 1.0) for i in range(5)])  # chain
+    cfg = SamplingConfig(
+        max_ctx_neigh=3, hop_sampling_sizes=(3, 2),
+        max_total_samples=10, min_neg_samples=5,  # max_pos=5 > max_deg=2
+        num_total=g.num_total,
+    )
+    assert g.nbr_ids.shape[1] < 5
+    # interior chain nodes (real 1,2,3 -> shifted ids 3,4,5)
+    targets = jnp.asarray([3, 4, 5], jnp.int32)
+    nodes, labels, valid = sample_pairs(
+        g, targets, jax.random.key(0), cfg, is_training=True
+    )
+    nodes, labels, valid = map(np.asarray, (nodes, labels, valid))
+    assert nodes.shape == (3, 10)
+    # interior chain nodes have exactly 2 neighbors -> 2 positives
+    assert (labels.sum(axis=1) == 2).all()
+    assert (valid == 1.0).all()  # complement is non-empty everywhere
+    # the positives are the true neighbors (ids share the +2 shift)
+    for r, t in enumerate([3, 4, 5]):
+        pos = set(nodes[r][labels[r] == 1].tolist())
+        assert pos == {t - 1, t + 1}
+    # eval branch compiles too
+    sample_pairs(g, targets, jax.random.key(1), cfg, is_training=False)
+
+
+def test_sample_all_contexts_honors_small_chunk():
+    """A caller-computed memory-pressure chunk below REFRESH_CHUNK must
+    actually chunk mid-size graphs (the gate used to compare against the
+    constant, silently materializing the full single-shot transient the
+    caller's HBM budget ruled out)."""
+    from pmgt_tpu.sampling.pairs import sample_all_contexts
+
+    g = from_edges(50, [(i, (i + 7) % 50, 1.0) for i in range(50)])
+    cfg = SamplingConfig(
+        max_ctx_neigh=3, hop_sampling_sizes=(3, 2),
+        max_total_samples=4, min_neg_samples=2, num_total=g.num_total,
+    )
+    n = g.num_total
+    ids, mask = sample_all_contexts(
+        g, jax.random.key(0), cfg, n, chunk=16
+    )
+    ids, mask = np.asarray(ids), np.asarray(mask)
+    assert ids.shape[0] == n and mask.shape[0] == n
+    # special rows stay context-free, real rows keep their target id
+    assert (mask[:2, 1:] == 0).all()
+    assert (ids[2:, 0] == np.arange(2, n)).all()
+
+
 def test_sort_impl_resolution():
     """auto → packed iff the int32 packing fits; forced 'packed' that
     cannot pack must fail loudly — a silent variadic fallback would
