@@ -79,11 +79,11 @@ class NCF(nn.Module):
             self.mlp_layers = layers
             self.mlp_norms = norms if self.use_layer_norm else None
 
-        predict_size = fn if self.model in ("MLP", "GMF") else fn * 2
+        # predict width (fn, or fn*2 for NeuMF) is inferred from the
+        # concat input by nn.Dense
         self.predict_layer = nn.Dense(
             1, kernel_init=_kaiming_uniform_sigmoid, name="predict_layer"
         )
-        del predict_size  # width is inferred from the concat input
 
         self.emb_drop = nn.Dropout(self.emb_dropout)
         self.hidden_drop = nn.Dropout(self.dropout)
@@ -144,7 +144,16 @@ def fuse_neumf_params(
         jnp.asarray, mlp_params["embed_item_MLP"]
     )
     for name in list(params.keys()):
-        if name.startswith("mlp_") and name in mlp_params:
+        # Dense tower layers only ("mlp_{i}"): the reference's fusion
+        # isinstance-checks nn.Linear (ncf/models.py:100-103), so the
+        # use_layer_norm towers' LayerNorms ("mlp_norm_{i}") stay at
+        # NeuMF-pre's FRESH init — copying them too deviated from the
+        # published fusion whenever layer norm was tuned on.
+        if (
+            name.startswith("mlp_")
+            and not name.startswith("mlp_norm_")
+            and name in mlp_params
+        ):
             params[name] = jax.tree.map(jnp.asarray, mlp_params[name])
 
     w_gmf = gmf_params["predict_layer"]["kernel"]  # [fn, 1]

@@ -59,14 +59,43 @@ def wait_for_checkpoints() -> None:
     if _PENDING is None:
         return
     tmp, final = _PENDING
-    _PENDING = None
     _ckptr().wait_until_finished()
     # Primary-only rename; barrier so no process reads `final` before the
     # rename lands (or starts the next save over a half-moved tmp).
-    if _is_primary():
-        shutil.rmtree(final, ignore_errors=True)
+    # Order matters for crash safety: the previous copy is renamed ASIDE
+    # (atomic) before the new one renames in, so a kill at any instant
+    # leaves at least one complete checkpoint on disk — deleting `final`
+    # before the replace (the old order) had a window that lost the only
+    # copy (preemption between rmtree and os.replace -> resume silently
+    # restarted from epoch 0). checkpoint_exists() promotes a stranded
+    # aside copy back.
+    if _is_primary() and os.path.isdir(tmp):  # tmp gone = already landed
+        old = final + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(final):
+            os.replace(final, old)
         os.replace(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
     _barrier(f"ckpt_finalize:{final}")
+    # Cleared only after success: a transient finalize failure leaves
+    # _PENDING set so the next wait retries instead of abandoning the
+    # in-flight save with a stale .tmp_new and a best.json pointing at
+    # a checkpoint that never landed.
+    _PENDING = None
+
+
+def checkpoint_exists(path: str) -> bool:
+    """True if a finalized checkpoint directory exists at ``path``.
+
+    Promotes a crash-stranded aside copy first: a kill between
+    finalize's two renames leaves ``path`` missing with the previous
+    complete checkpoint at ``path + ".old"``."""
+    path = os.path.abspath(path)
+    old = path + ".old"
+    if _is_primary() and not os.path.isdir(path) and os.path.isdir(old):
+        os.replace(old, path)
+    _barrier(f"ckpt_recover:{path}")
+    return os.path.isdir(path)
 
 
 def save_checkpoint(path: str, state: Any, block: bool = True) -> None:

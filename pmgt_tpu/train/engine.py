@@ -21,6 +21,7 @@ import jax
 import numpy as np
 
 from pmgt_tpu.train.checkpoints import (
+    checkpoint_exists,
     read_best_info,
     restore_checkpoint,
     save_checkpoint,
@@ -237,7 +238,9 @@ def fit(
         import os
 
         last = os.path.join(ckpt_dir, "last")
-        if os.path.isdir(last):
+        # checkpoint_exists also promotes a crash-stranded aside copy
+        # (kill inside checkpoint finalize) so preempted runs resume.
+        if checkpoint_exists(last):
             payload = restore_checkpoint(
                 last,
                 _ckpt_payload(

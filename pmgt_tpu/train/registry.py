@@ -82,17 +82,21 @@ def _shared_run_id() -> str:
     try:
         import jax
 
-        if jax.process_count() > 1:
-            import numpy as np
-            from jax.experimental import multihost_utils
-
-            local = np.frombuffer(bytes.fromhex(run_id), dtype=np.uint8)
-            shared = np.asarray(
-                multihost_utils.broadcast_one_to_all(local)
-            )
-            run_id = bytes(shared.tolist()).hex()
+        nproc = jax.process_count()
     except Exception:  # jax not initialized yet: single-process
-        pass
+        return run_id
+    if nproc > 1:
+        # No blanket except here: a broadcast failure must RAISE. Falling
+        # back to the local uuid would give every process its own run id —
+        # divergent run dirs with checkpoint barriers across them (a hang
+        # or a corrupted run), the exact split-brain this function exists
+        # to prevent. A crash is strictly better.
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        local = np.frombuffer(bytes.fromhex(run_id), dtype=np.uint8)
+        shared = np.asarray(multihost_utils.broadcast_one_to_all(local))
+        run_id = bytes(shared.tolist()).hex()
     return run_id
 
 
@@ -228,13 +232,15 @@ class RunRegistry:
     def get_ckpt_path(self, run_id: str, load_best: bool = False) -> str:
         """Resolve best/last checkpoint directory (reference get_ckpt_path,
         base_trainer.py:99-110)."""
+        from pmgt_tpu.train.checkpoints import checkpoint_exists
+
         run = self.get_run(run_id)
         name = "best" if load_best else "last"
         path = os.path.join(run.ckpt_dir, name)
-        if not os.path.isdir(path):
+        if not checkpoint_exists(path):
             if load_best:  # fall back to last, as the reference does
                 path = os.path.join(run.ckpt_dir, "last")
-            if not os.path.isdir(path):
+            if not checkpoint_exists(path):
                 raise FileNotFoundError(f"no checkpoint under {run.ckpt_dir}")
         return path
 
@@ -256,7 +262,16 @@ def locate_eval_ckpt(
     Returns None when there is nothing to restore.
     """
     run_id = explicit_run_id or (run.run_id if run is not None else None)
-    if run_id is None or registry is None:
+    if run_id is None:
+        return None
+    if registry is None:
+        if explicit_run_id is not None:
+            # The contract above: an explicit --run-id must never fall
+            # through to scoring in-memory params.
+            raise FileNotFoundError(
+                f"--run-id {explicit_run_id!r} was given but no registry/"
+                f"log-dir is available to resolve it"
+            )
         return None
     try:
         return registry.get_ckpt_path(run_id, load_best=load_best)

@@ -461,3 +461,35 @@ def test_ckpt_interval_counts_eval_points_not_epochs(tmp_path, monkeypatch):
     # (epochs 3 and 7 — point 4 is also the stop)
     assert task.evals == 4
     assert calls.count("last") == 2
+
+
+def test_checkpoint_crash_recovery_promotes_aside_copy(tmp_path):
+    """Finalize renames the previous checkpoint ASIDE before the new one
+    renames in, so a kill at any instant leaves a complete copy on disk;
+    checkpoint_exists must promote a stranded aside copy back (the old
+    rmtree-then-replace order could lose the only checkpoint)."""
+    from pmgt_tpu.train.checkpoints import (
+        checkpoint_exists,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    final = str(tmp_path / "last")
+    save_checkpoint(final, {"w": jnp.asarray([1.0, 2.0])})
+    # simulate the kill window between finalize's two renames
+    os.replace(final, final + ".old")
+    assert not os.path.isdir(final)
+    assert checkpoint_exists(final)
+    out = restore_checkpoint(final, {"w": jnp.zeros((2,))})
+    np.testing.assert_allclose(np.asarray(out["w"]), [1.0, 2.0])
+
+
+def test_checkpoint_save_replaces_previous_and_cleans_aside(tmp_path):
+    from pmgt_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+
+    final = str(tmp_path / "best")
+    save_checkpoint(final, {"w": jnp.asarray([1.0])})
+    save_checkpoint(final, {"w": jnp.asarray([2.0])})
+    out = restore_checkpoint(final, {"w": jnp.zeros((1,))})
+    assert float(np.asarray(out["w"])[0]) == 2.0
+    assert not os.path.isdir(final + ".old")

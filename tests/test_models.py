@@ -242,6 +242,44 @@ def test_neumf_pre_fusion():
     assert out.shape == (2,)
 
 
+def test_neumf_pre_fusion_leaves_layer_norms_fresh():
+    """The reference fusion copies only nn.Linear tower layers
+    (ncf/models.py:100-103): with use_layer_norm towers, the fused
+    NeuMF-pre keeps its OWN fresh LayerNorm params — copying the MLP
+    run's trained norms deviated from the published fusion."""
+    def make(variant, seed):
+        m = NCF(
+            user_num=6, item_num=7, factor_num=4, num_layers=2,
+            model=variant, use_layer_norm=True,
+        )
+        p = m.init(
+            jax.random.key(seed),
+            jnp.zeros((2,), jnp.int32),
+            jnp.zeros((2,), jnp.int32),
+        )["params"]
+        return dict(p)
+
+    gmf_p = make("GMF", 1)
+    mlp_p = make("MLP", 2)
+    neumf_p = make("NeuMF-end", 3)
+    # make the MLP run's norms visibly trained-away from fresh init
+    mlp_p["mlp_norm_0"] = jax.tree.map(lambda x: x + 3.0, mlp_p["mlp_norm_0"])
+    fused = fuse_neumf_params(neumf_p, gmf_p, mlp_p, alpha=0.5)
+    # dense tower layers copied...
+    np.testing.assert_allclose(
+        np.asarray(fused["mlp_0"]["kernel"]), np.asarray(mlp_p["mlp_0"]["kernel"])
+    )
+    # ...norms NOT copied: they stay at NeuMF-pre's fresh init
+    np.testing.assert_allclose(
+        np.asarray(fused["mlp_norm_0"]["scale"]),
+        np.asarray(neumf_p["mlp_norm_0"]["scale"]),
+    )
+    assert not np.allclose(
+        np.asarray(fused["mlp_norm_0"]["scale"]),
+        np.asarray(mlp_p["mlp_norm_0"]["scale"]),
+    )
+
+
 def test_inject_item_embeddings():
     model = NCF(user_num=5, item_num=6, factor_num=4, num_layers=2, model="MLP")
     params = dict(
