@@ -73,8 +73,9 @@ def make_synthetic(
 
 
 @cli.command(context_settings={"show_default": True})
-@click.option("--raw-dir", type=click.Path(exists=True), required=True,
-              help="directory with reviews.json[.gz] and optional metadata")
+@click.option("--raw-dir", type=click.Path(), required=True,
+              help="directory with reviews.json[.gz] and optional metadata "
+              "(created by --download when absent)")
 @click.option("--out-dir", type=click.Path(), required=True)
 @click.option("--dataset-name", type=click.STRING, required=True)
 @click.option("--min-common-users", type=click.INT, default=3)

@@ -455,9 +455,22 @@ def train_model(
         )
         logger.info("run_id: %s", run.run_id)
 
+    # Status is finalized only for runs THIS invocation created:
+    # inference/eval against an existing --run-id must not overwrite the
+    # original training run's FINISHED/INTERRUPTED record.
+    created_run = args.run_id is None
+
     if args.mode == "inference":
         logger.info("Inference mode")
-        return trainer.inference(args, ctx, registry, run)
+        try:
+            out = trainer.inference(args, ctx, registry, run)
+        except Exception:
+            if created_run:
+                registry.set_status(run, "FAILED")
+            raise
+        if created_run:
+            registry.set_status(run, "FINISHED")
+        return out
 
     try:
         if args.mode == "train":

@@ -54,6 +54,12 @@ def iter_item_images(
             continue
         images = []
         for name in sorted(os.listdir(item_dir)):
+            # Skip in-flight scraper tmp files: a run killed between
+            # write and rename leaves <img>.part, and a fully-written
+            # one opens fine in PIL — feeding a duplicate image into
+            # the item's mean-pooled feature on the rerun.
+            if name.endswith(".part"):
+                continue
             path = os.path.join(item_dir, name)
             try:
                 with Image.open(path) as img:

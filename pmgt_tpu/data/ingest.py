@@ -58,11 +58,14 @@ def download_reviews(
         logger.info("reviews dump already present at %s", out_path)
         return out_path
     logger.info("downloading %s", url)
-    with opener(url) as resp:
-        data = resp.read()
     tmp = out_path + ".part"
-    with open(tmp, "wb") as f:
-        f.write(data)
+    # Stream to disk: full-category 5-core dumps reach GBs — buffering
+    # the whole response in one bytes object can OOM a small
+    # preprocessing host. Same atomic .part/os.replace protocol.
+    import shutil
+
+    with opener(url) as resp, open(tmp, "wb") as f:
+        shutil.copyfileobj(resp, f)
     os.replace(tmp, out_path)
     with open(src_path, "w") as f:
         f.write(url)

@@ -36,6 +36,20 @@ from pmgt_tpu.graph.container import NUM_SPECIAL_NODES, from_edges
 logger = logging.getLogger("pmgt_tpu")
 
 
+def _find_review_dumps(raw_dir: str) -> List[str]:
+    """Review-dump candidates in ``raw_dir`` (json-lines, optionally
+    gzipped; metadata dumps excluded) — the ONE detection predicate,
+    shared by ``_load_reviews`` and ``run_preprocess``'s --download
+    guard so the two cannot drift."""
+    if not os.path.isdir(raw_dir):
+        return []
+    return [
+        os.path.join(raw_dir, n)
+        for n in sorted(os.listdir(raw_dir))
+        if n.endswith((".json", ".json.gz")) and not n.startswith("meta")
+    ]
+
+
 def _load_reviews(
     raw_dir: str, keep_text: bool = False
 ) -> List[Tuple[str, str, float, str]]:
@@ -43,11 +57,7 @@ def _load_reviews(
     optionally gzipped) into compact (user, asin, timestamp, text) tuples —
     only the fields the pipeline uses, so multi-GB category dumps don't
     cost a dict per review. ``text`` is "" unless ``keep_text``."""
-    candidates = [
-        os.path.join(raw_dir, n)
-        for n in sorted(os.listdir(raw_dir))
-        if n.endswith((".json", ".json.gz")) and not n.startswith("meta")
-    ]
+    candidates = _find_review_dumps(raw_dir)
     if not candidates:
         raise FileNotFoundError(f"no reviews dump (*.json[.gz]) in {raw_dir}")
     path = candidates[0]
@@ -280,10 +290,16 @@ def run_preprocess(
     """Run the full pipeline (module docstring) and return the artifacts,
     also saved natively under ``<out_dir>/<dataset_name>``."""
     os.makedirs(out_dir, exist_ok=True)
-    if download and not any(
-        n.endswith((".json", ".json.gz")) and not n.startswith("meta")
-        for n in (os.listdir(raw_dir) if os.path.isdir(raw_dir) else [])
-    ):
+    if not (0 <= test_size < 1):
+        # test_size=1.0 (or a typo'd 20 meaning 20%) would silently
+        # produce train=all / test=EMPTY under the old guard — the exact
+        # opposite of sklearn's meaning. 0 stays the explicit no-test
+        # value.
+        raise ValueError(
+            f"test_size must be in [0, 1), got {test_size} "
+            f"(0 = no test split)"
+        )
+    if download and not _find_review_dumps(raw_dir):
         from pmgt_tpu.data.ingest import download_reviews
 
         download_reviews(dataset_name, raw_dir)
@@ -334,8 +350,13 @@ def run_preprocess(
     else:
         train_pairs, test_pairs = pairs, pairs[:0]
 
-    # Feature tables.
-    rng = np.random.default_rng(seed)
+    # Feature tables. Independent per-modality streams: threading ONE
+    # rng through both builds made the textual fallback rows depend on
+    # how many draws the visual path consumed (its dim, or whether it
+    # fell back at all) — same-seed artifacts then differed across
+    # visual-path variations for purely textual-looking reasons.
+    rng_v = np.random.default_rng([seed, 1])
+    rng_t = np.random.default_rng([seed, 2])
     n = len(node_items)
     if extract_features:
         try:
@@ -343,7 +364,7 @@ def run_preprocess(
                 raw_dir, out_dir, dataset_name, image_model,
                 feature_device, visual_model, visual_transform,
             )
-            visual = _fill_table(rng, n, node_idx, feats, mapping)
+            visual = _fill_table(rng_v, n, node_idx, feats, mapping)
         except Exception as exc:  # noqa: BLE001 — weights-gated fallback
             logger.warning(
                 "visual extraction unavailable (%s); falling back to "
@@ -351,7 +372,7 @@ def run_preprocess(
                 exc,
                 visual_dim,
             )
-            visual = _random_table(rng, n, visual_dim)
+            visual = _random_table(rng_v, n, visual_dim)
         node_texts = {}
         for _, asin, _, text in pre:
             if text and asin in node_idx:
@@ -360,7 +381,7 @@ def run_preprocess(
             feats, mapping = _extract_textual(
                 out_dir, dataset_name, node_texts, text_model, feature_device
             )
-            textual = _fill_table(rng, n, node_idx, feats, mapping)
+            textual = _fill_table(rng_t, n, node_idx, feats, mapping)
         except Exception as exc:  # noqa: BLE001
             logger.warning(
                 "textual extraction unavailable (%s); falling back to "
@@ -368,10 +389,10 @@ def run_preprocess(
                 exc,
                 textual_dim,
             )
-            textual = _random_table(rng, n, textual_dim)
+            textual = _random_table(rng_t, n, textual_dim)
     else:
-        visual = _random_table(rng, n, visual_dim)
-        textual = _random_table(rng, n, textual_dim)
+        visual = _random_table(rng_v, n, visual_dim)
+        textual = _random_table(rng_t, n, textual_dim)
 
     art = DatasetArtifacts(
         graph=graph,
